@@ -1,0 +1,50 @@
+"""Signal framing: [..., N] -> [..., T, W] frame tensors.
+
+Reference parity: the frame loop in fingerprint/analyzers/spectral.go
+(:443-517, `start = frame*hop; copy(signal[start:start+W])`) and
+algorithms/common/buffers.go SlidingWindow. Frame count formula:
+num_frames = (N - W) // H + 1 (no padding / centering), spectral.go:418.
+
+On TPU this is a single strided gather producing the whole [B, T, W]
+tensor in HBM — the reference's goroutine pool becomes a vectorized axis.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def num_frames(n_samples: int, window_size: int, hop_size: int) -> int:
+    if n_samples < window_size:
+        return 0
+    return (n_samples - window_size) // hop_size + 1
+
+
+def frame_signal(
+    signal: jnp.ndarray, window_size: int, hop_size: int
+) -> jnp.ndarray:
+    """Frame the last axis: [..., N] -> [..., T, W].
+
+    Static-shape gather; identical sample coverage to the reference's
+    per-frame copy loop.
+    """
+    n = signal.shape[-1]
+    t = num_frames(n, window_size, hop_size)
+    if t <= 0:
+        raise ValueError(
+            f"signal length {n} shorter than window {window_size}"
+        )
+    # [T, W] index matrix is a numpy constant -> folded by XLA.
+    idx = (
+        np.arange(t, dtype=np.int32)[:, None] * hop_size
+        + np.arange(window_size, dtype=np.int32)[None, :]
+    )
+    return signal[..., idx]
+
+
+def frame_times(
+    t: int, hop_size: int, window_size: int, sample_rate: int
+) -> np.ndarray:
+    """Frame center start-times in seconds (host-side metadata)."""
+    return (np.arange(t) * hop_size) / float(sample_rate)

@@ -1,0 +1,226 @@
+"""Frame-parallel spectral descriptors over magnitude spectrograms.
+
+Reference parity: algorithms/spectral/*.go — centroid (:18-56), rolloff
+(:19-70), bandwidth (:22-62), flatness (:31-166, threshold 1e-10), crest
+(:18-51), slope (:24-82, log-log masked regression), contrast
+(spectral_contrast.go:26-188: log-spaced bands from 200 Hz, top/bottom
+20% power mean, dB), zero-crossing rate (zero_crossing_rate.go:37-110).
+
+All functions take [..., F] magnitude frames (or [..., T, W] sample
+frames for ZCR) and vectorize over every leading axis — the reference's
+per-frame loops become one fused reduction pass on the VPU.
+
+Frequency axis convention (reference): freqs[i] = i * nyquist / (F - 1)
+(spectral_centroid.go initializeFreqBins et al.).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-10
+
+
+def _freq_bins(num_bins: int, sample_rate: int) -> np.ndarray:
+    nyquist = sample_rate / 2.0
+    return (np.arange(num_bins, dtype=np.float64) * nyquist / (num_bins - 1)).astype(
+        np.float32
+    )
+
+
+def spectral_centroid(magnitude: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+    """Magnitude-weighted mean frequency, [..., F] -> [...]."""
+    freqs = jnp.asarray(_freq_bins(magnitude.shape[-1], sample_rate))
+    num = jnp.sum(magnitude * freqs, axis=-1)
+    den = jnp.sum(magnitude, axis=-1)
+    return jnp.where(den > 0, num / jnp.maximum(den, _EPS), 0.0)
+
+
+def spectral_rolloff(
+    magnitude: jnp.ndarray, sample_rate: int, threshold: float = 0.85
+) -> jnp.ndarray:
+    """Frequency below which `threshold` of spectral energy lies.
+
+    Matches spectral_rolloff.go:19-56: cumulative mag^2 vs
+    threshold*total, returning the frequency of the first bin reaching
+    the target.
+    """
+    freqs = jnp.asarray(_freq_bins(magnitude.shape[-1], sample_rate))
+    power = magnitude * magnitude
+    total = jnp.sum(power, axis=-1, keepdims=True)
+    cum = jnp.cumsum(power, axis=-1)
+    reached = cum >= threshold * total
+    # argmax finds the first True along the last axis
+    idx = jnp.argmax(reached, axis=-1)
+    roll = freqs[idx]
+    return jnp.where(total[..., 0] > 0, roll, 0.0)
+
+
+def spectral_bandwidth(
+    magnitude: jnp.ndarray, sample_rate: int, centroid: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Magnitude-weighted std around the centroid (spectral_bandwidth.go:22-47)."""
+    freqs = jnp.asarray(_freq_bins(magnitude.shape[-1], sample_rate))
+    if centroid is None:
+        centroid = spectral_centroid(magnitude, sample_rate)
+    diff = freqs - centroid[..., None]
+    num = jnp.sum(diff * diff * magnitude, axis=-1)
+    den = jnp.sum(magnitude, axis=-1)
+    return jnp.where(den > 0, jnp.sqrt(num / jnp.maximum(den, _EPS)), 0.0)
+
+
+def spectral_flatness(
+    magnitude: jnp.ndarray, min_threshold: float = _EPS
+) -> jnp.ndarray:
+    """Wiener entropy: geometric/arithmetic mean ratio
+    (spectral_flatness.go:31-75). The geometric mean is taken over bins
+    above `min_threshold` only, matching the reference."""
+    valid = magnitude > min_threshold
+    count = jnp.sum(valid, axis=-1)
+    log_sum = jnp.sum(jnp.where(valid, jnp.log(jnp.maximum(magnitude, min_threshold)), 0.0), axis=-1)
+    geo = jnp.exp(log_sum / jnp.maximum(count, 1))
+    arith = jnp.mean(magnitude, axis=-1)
+    flat = jnp.where(
+        (count > 0) & (arith > min_threshold), geo / jnp.maximum(arith, _EPS), 0.0
+    )
+    return flat
+
+
+def spectral_flatness_db(magnitude: jnp.ndarray) -> jnp.ndarray:
+    """dB variant (spectral_flatness.go:78-92)."""
+    f = spectral_flatness(magnitude)
+    return 10.0 * jnp.log10(jnp.maximum(f, _EPS))
+
+
+def band_limited_flatness(
+    magnitude: jnp.ndarray,
+    sample_rate: int,
+    low_hz: float,
+    high_hz: float,
+) -> jnp.ndarray:
+    """Flatness over a static frequency band (spectral_flatness.go:95-135)."""
+    n = magnitude.shape[-1]
+    freqs = _freq_bins(n, sample_rate)
+    lo = int(np.searchsorted(freqs, low_hz, side="left"))
+    hi = int(np.searchsorted(freqs, high_hz, side="right"))
+    hi = max(hi, lo + 1)
+    return spectral_flatness(magnitude[..., lo:hi])
+
+
+def speech_band_flatness(magnitude: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+    """300-3400 Hz speech band (spectral_flatness.go:138-150)."""
+    return band_limited_flatness(magnitude, sample_rate, 300.0, 3400.0)
+
+
+def spectral_crest(magnitude: jnp.ndarray) -> jnp.ndarray:
+    """Peak / RMS (spectral_crest.go:18-39)."""
+    peak = jnp.max(magnitude, axis=-1)
+    rms = jnp.sqrt(jnp.mean(magnitude * magnitude, axis=-1))
+    return jnp.where(rms > 0, peak / jnp.maximum(rms, _EPS), 0.0)
+
+
+def spectral_slope(magnitude: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+    """Linear-regression slope of log10(mag) vs log10(freq)
+    (spectral_slope.go:24-82), masked to bins with mag > 1e-10 and f > 0."""
+    n_bins = magnitude.shape[-1]
+    freqs = jnp.asarray(_freq_bins(n_bins, sample_rate))
+    valid = (magnitude > _EPS) & (freqs > 0)
+    x = jnp.where(valid, jnp.log10(jnp.maximum(freqs, _EPS)), 0.0)
+    y = jnp.where(valid, jnp.log10(jnp.maximum(magnitude, _EPS)), 0.0)
+    n = jnp.sum(valid, axis=-1).astype(jnp.float32)
+    sum_x = jnp.sum(x, axis=-1)
+    sum_y = jnp.sum(y, axis=-1)
+    sum_xy = jnp.sum(x * y, axis=-1)
+    sum_xx = jnp.sum(x * x, axis=-1)
+    den = n * sum_xx - sum_x * sum_x
+    slope = jnp.where(
+        (n >= 2) & (jnp.abs(den) > _EPS),
+        (n * sum_xy - sum_x * sum_y) / jnp.where(jnp.abs(den) > _EPS, den, 1.0),
+        0.0,
+    )
+    return slope
+
+
+# ---------------------------------------------------------------------
+# Spectral contrast
+# ---------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def contrast_band_edges(
+    num_bands: int, num_bins: int, sample_rate: int
+) -> Tuple[int, ...]:
+    """Log-spaced band edges in bin units (spectral_contrast.go:139-188):
+    log10-spaced from 200 Hz to Nyquist, bin = int(f*(numBins-1)/nyquist),
+    forced strictly increasing."""
+    nyquist = sample_rate / 2.0
+    min_freq = 200.0
+    max_freq = nyquist if nyquist > min_freq else min_freq * 2
+    log_min, log_max = np.log10(min_freq), np.log10(max_freq)
+    edges = []
+    for i in range(num_bands + 1):
+        f = 10.0 ** (log_min + i * (log_max - log_min) / num_bands)
+        b = int(f * (num_bins - 1) / nyquist)
+        edges.append(min(max(b, 0), num_bins - 1))
+    for i in range(1, num_bands + 1):
+        if edges[i] <= edges[i - 1]:
+            edges[i] = edges[i - 1] + 1
+    return tuple(edges)
+
+
+def spectral_contrast(
+    magnitude: jnp.ndarray, sample_rate: int, num_bands: int = 6
+) -> jnp.ndarray:
+    """Per-band peak-vs-valley contrast in dB, [..., F] -> [..., num_bands].
+
+    Per band: sort power, mean of bottom 20% = valley, mean of top 20% =
+    peak, contrast = 10*log10(peak/valley) (spectral_contrast.go:71-137).
+    Band edges are static per (sample_rate, F), so each band is a static
+    slice sorted on device.
+    """
+    edges = contrast_band_edges(num_bands, magnitude.shape[-1], sample_rate)
+    power = magnitude * magnitude
+    outs = []
+    for b in range(num_bands):
+        lo, hi = edges[b], min(edges[b + 1], magnitude.shape[-1])
+        if lo >= hi:
+            outs.append(jnp.zeros(magnitude.shape[:-1], magnitude.dtype))
+            continue
+        band = power[..., lo:hi]
+        width = hi - lo
+        k = max(int(0.2 * width), 1)
+        sorted_band = jnp.sort(band, axis=-1)
+        valley = jnp.mean(sorted_band[..., :k], axis=-1)
+        peak = jnp.mean(sorted_band[..., width - k :], axis=-1)
+        valley = jnp.maximum(valley, _EPS)
+        c = jnp.where(peak > 0, 10.0 * jnp.log10(peak / valley), 0.0)
+        outs.append(c)
+    return jnp.stack(outs, axis=-1)
+
+
+# ---------------------------------------------------------------------
+# Zero-crossing rate (time-domain, over sample frames)
+# ---------------------------------------------------------------------
+
+def zero_crossings(frames: jnp.ndarray) -> jnp.ndarray:
+    """Count of sign changes per frame, [..., W] -> [...]
+    (zero_crossing_rate.go:42-48: sign change counts (x>=0) boundary)."""
+    nonneg = frames >= 0
+    changes = nonneg[..., 1:] != nonneg[..., :-1]
+    return jnp.sum(changes, axis=-1).astype(jnp.float32)
+
+
+def zcr(frames: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+    """Crossings per second (zero_crossing_rate.go:37-53)."""
+    w = frames.shape[-1]
+    duration = w / float(sample_rate)
+    return zero_crossings(frames) / duration
+
+
+def zcr_normalized(frames: jnp.ndarray) -> jnp.ndarray:
+    """Crossings / (W-1), range [0,1] (zero_crossing_rate.go:57-76)."""
+    w = frames.shape[-1]
+    return zero_crossings(frames) / float(max(w - 1, 1))

@@ -1,0 +1,185 @@
+"""STFT engine: the single production STFT for the whole framework.
+
+Reference parity: fingerprint/analyzers/spectral.go:385-517
+(ComputeSTFTWithWindow: frame -> window (power-gain-normalized) -> real
+FFT -> magnitude/phase) and algorithms/spectral/stft.go (the duplicate
+implementation — the TPU build has exactly one, per SURVEY.md section 1).
+
+Replaces both goroutine worker pools with one batched jitted program:
+  signal [B, N] -> frames [B, T, W] -> windowed -> rfft -> [B, T, W/2+1]
+Frame and batch axes are vectorized; multi-chip scaling shards B via
+`jax.sharding` (see sonido_sonar_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonido_sonar_tpu.config.config import WindowType
+from sonido_sonar_tpu.ops.framing import frame_signal, num_frames
+from sonido_sonar_tpu.ops.windows import make_window
+
+# log-power floor, matches reference dB floor behavior
+# (spectral/power_spectrum.go:46-70)
+_LOG_FLOOR = 1e-10
+
+
+@dataclass
+class STFTResult:
+    """Equivalent of SpectrogramResult/STFTResult (analyzers/spectral.go:14-60).
+
+    All arrays are [..., T, F] with F = window_size//2 + 1. `complex_spec`
+    and `phase` are optional (phase costs an atan2 pass; complex doubles
+    the HBM footprint) — production fingerprinting only needs magnitude.
+    """
+
+    magnitude: jnp.ndarray
+    phase: Optional[jnp.ndarray]
+    complex_spec: Optional[jnp.ndarray]
+    sample_rate: int
+    window_size: int
+    hop_size: int
+
+    @property
+    def freq_bins(self) -> int:
+        return self.window_size // 2 + 1
+
+    @property
+    def time_frames(self) -> int:
+        return self.magnitude.shape[-2]
+
+
+jax.tree_util.register_pytree_node(
+    STFTResult,
+    lambda r: (
+        (r.magnitude, r.phase, r.complex_spec),
+        (r.sample_rate, r.window_size, r.hop_size),
+    ),
+    lambda aux, ch: STFTResult(ch[0], ch[1], ch[2], *aux),
+)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window_size",
+        "hop_size",
+        "window_type",
+        "return_phase",
+        "return_complex",
+    ),
+)
+def stft(
+    signal: jnp.ndarray,
+    window_size: int = 2048,
+    hop_size: int = 512,
+    window_type: WindowType = WindowType.HANN,
+    sample_rate: int = 44100,
+    return_phase: bool = False,
+    return_complex: bool = False,
+) -> STFTResult:
+    """Batched STFT over the last axis of `signal` [..., N].
+
+    Window is symmetric + unity-power-gain normalized, matching the
+    production path (analyzers/spectral.go:290-295, windowing.go:426-437).
+    """
+    w = jnp.asarray(
+        make_window(window_type, window_size, normalize=True, symmetric=True)
+    )
+    frames = frame_signal(signal.astype(jnp.float32), window_size, hop_size)
+    spec = jnp.fft.rfft(frames * w, axis=-1)
+    mag = jnp.abs(spec).astype(jnp.float32)
+    phase = jnp.angle(spec).astype(jnp.float32) if return_phase else None
+    cplx = spec if return_complex else None
+    return STFTResult(
+        magnitude=mag,
+        phase=phase,
+        complex_spec=cplx,
+        sample_rate=sample_rate,
+        window_size=window_size,
+        hop_size=hop_size,
+    )
+
+
+@partial(jax.jit, static_argnames=("window_size", "window_type"))
+def fft_frame(
+    frame: jnp.ndarray,
+    window_size: int = 2048,
+    window_type: WindowType = WindowType.HANN,
+) -> jnp.ndarray:
+    """Single-frame windowed rFFT (SpectralAnalyzer.ComputeFFT, spectral.go:63)."""
+    w = jnp.asarray(
+        make_window(window_type, window_size, normalize=True, symmetric=True)
+    )
+    return jnp.fft.rfft(frame.astype(jnp.float32) * w, axis=-1)
+
+
+def power_spectrum(magnitude: jnp.ndarray) -> jnp.ndarray:
+    """mag^2 (spectral/power_spectrum.go:18-44)."""
+    return magnitude * magnitude
+
+
+def log_power_spectrum(magnitude: jnp.ndarray, floor: float = _LOG_FLOOR) -> jnp.ndarray:
+    """10*log10(mag^2 + floor) dB (power_spectrum.go:46-102)."""
+    return 10.0 * jnp.log10(jnp.maximum(power_spectrum(magnitude), floor))
+
+
+def spectral_flux(magnitude: jnp.ndarray) -> jnp.ndarray:
+    """Half-wave-rectified L2 frame-to-frame flux, [..., T]
+    (spectral/spectral_flux.go:17-56). Frame 0 has flux 0."""
+    diff = magnitude[..., 1:, :] - magnitude[..., :-1, :]
+    rect = jnp.maximum(diff, 0.0)
+    flux = jnp.sqrt(jnp.sum(rect * rect, axis=-1))
+    pad = [(0, 0)] * (flux.ndim - 1) + [(1, 0)]
+    return jnp.pad(flux, pad)
+
+
+class STFTStreamer:
+    """Streaming STFT with an internal ring buffer.
+
+    Reference parity: analyzers/spectral.go:289-374 (ComputeSTFTStreaming).
+    Host-side buffering; each flush runs the batched jitted stft on the
+    accumulated whole frames and keeps the tail for the next push.
+    """
+
+    def __init__(
+        self,
+        window_size: int = 2048,
+        hop_size: int = 512,
+        window_type: WindowType = WindowType.HANN,
+        sample_rate: int = 44100,
+    ):
+        self.window_size = window_size
+        self.hop_size = hop_size
+        self.window_type = window_type
+        self.sample_rate = sample_rate
+        self._buffer = np.zeros(0, dtype=np.float32)
+
+    def push(self, samples: np.ndarray) -> Optional[STFTResult]:
+        """Append samples; return STFT of all complete frames, if any."""
+        self._buffer = np.concatenate(
+            [self._buffer, np.asarray(samples, dtype=np.float32)]
+        )
+        t = num_frames(len(self._buffer), self.window_size, self.hop_size)
+        if t == 0:
+            return None
+        used = (t - 1) * self.hop_size + self.window_size
+        chunk = self._buffer[:used]
+        # keep unconsumed tail: next frame starts at t*hop
+        self._buffer = self._buffer[t * self.hop_size :]
+        return stft(
+            jnp.asarray(chunk),
+            self.window_size,
+            self.hop_size,
+            self.window_type,
+            self.sample_rate,
+        )
+
+    def reset(self) -> None:
+        self._buffer = np.zeros(0, dtype=np.float32)

@@ -1,0 +1,313 @@
+"""Dynamic Time Warping as a TPU-friendly wavefront DP.
+
+Reference parity: algorithms/stats/dtw.go —
+  cost matrix with +inf borders and cost[0][0]=0 (:62-77); step patterns
+  symmetric2 / asymmetric / symmetric1 (:138-162); optional Sakoe-Chiba
+  band |i-j| > band -> cell skipped (stays +inf) (:115-119); greedy
+  backtrack preferring vertical < horizontal < diagonal on strict
+  less-than (:195-217); final distance normalized by path length
+  (:88-92); quality metrics (:246-283); step-pattern auto-select
+  (:286-311).
+
+TPU formulation (SURVEY.md hard-part #1): the inner recurrence
+  D[i][j] = min(A[j], D[i][j-1] + c[j]),
+  A[j] = l[j] + f(D[i-1][j], D[i-1][j-1])
+is a min-plus linear scan, solved per-row with jax.lax.associative_scan
+(O(log M) depth, fully vectorized), with an outer lax.scan over query
+rows. Local distances for vector sequences are precomputed as one
+[N, M] pairwise-distance matrix (a matmul — MXU). Backtrack runs on
+device in a fixed-bound while_loop producing a fixed-size path buffer
+plus length.
+
+Memory is O(N*M) for the cost matrix (float32): ~27 MB for 60 s of
+chroma frames at hop 512 — fine in HBM. A band-only O(N*band) Pallas
+variant is the planned optimization for very long sequences.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(jnp.inf)
+
+
+@dataclass
+class DTWResult:
+    """DTWResult (dtw.go:18-27) with a fixed-size path buffer.
+
+    path_qidx/path_ridx are [N+M] int32; entries beyond path_length are
+    padding (repeats of the first point). Path runs start -> end.
+    """
+
+    distance: jnp.ndarray          # normalized (cost / path length)
+    raw_distance: jnp.ndarray      # cost[N][M]
+    path_qidx: jnp.ndarray         # [N+M]
+    path_ridx: jnp.ndarray         # [N+M]
+    path_cost: jnp.ndarray         # [N+M] local cost along path
+    path_length: jnp.ndarray       # scalar int32
+    cost_matrix: jnp.ndarray       # [N+1, M+1] (includes padding borders)
+    query_length: int
+    ref_length: int
+    step_pattern: str
+    constraint: int
+
+
+jax.tree_util.register_pytree_node(
+    DTWResult,
+    lambda r: (
+        (
+            r.distance, r.raw_distance, r.path_qidx, r.path_ridx,
+            r.path_cost, r.path_length, r.cost_matrix,
+        ),
+        (r.query_length, r.ref_length, r.step_pattern, r.constraint),
+    ),
+    lambda aux, ch: DTWResult(*ch, *aux),
+)
+
+
+def pairwise_sq_euclidean(query: jnp.ndarray, reference: jnp.ndarray) -> jnp.ndarray:
+    """[N, D] x [M, D] -> [N, M] squared distances via the |q|^2 + |r|^2
+    - 2 q.r identity (MXU matmul)."""
+    qn = jnp.sum(query * query, axis=-1, keepdims=True)
+    rn = jnp.sum(reference * reference, axis=-1, keepdims=True)
+    cross = jnp.matmul(
+        query, reference.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = qn + rn.T - 2.0 * cross
+    return jnp.maximum(d2, 0.0)
+
+
+def local_distance_matrix(
+    query: jnp.ndarray, reference: jnp.ndarray, metric: str = "euclidean"
+) -> jnp.ndarray:
+    """Local-cost matrix [N, M] for the DP fill (dtw.go uses the distance
+    registry; euclidean is the DTW default, dtw.go:42)."""
+    if query.ndim == 1:
+        query = query[:, None]
+    if reference.ndim == 1:
+        reference = reference[:, None]
+    if metric == "euclidean":
+        return jnp.sqrt(pairwise_sq_euclidean(query, reference))
+    if metric == "sqeuclidean":
+        return pairwise_sq_euclidean(query, reference)
+    if metric == "manhattan":
+        return jnp.sum(
+            jnp.abs(query[:, None, :] - reference[None, :, :]), axis=-1
+        )
+    if metric == "cosine":
+        qn = jnp.linalg.norm(query, axis=-1, keepdims=True)
+        rn = jnp.linalg.norm(reference, axis=-1, keepdims=True)
+        sim = jnp.matmul(query, reference.T) / jnp.maximum(qn * rn.T, 1e-10)
+        return 1.0 - sim
+    raise ValueError(f"unknown metric {metric}")
+
+
+def _minplus_row_scan(a: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Solve D[j] = min(A[j], D[j-1] + c[j]) for j = 0..M-1 with
+    D[-1] = +inf, via associative min-plus scan.
+
+    Elements are (decay, value): combine((c1,a1),(c2,a2)) =
+    (c1+c2, min(a1+c2, a2)).
+    """
+
+    def combine(x, y):
+        cx, ax = x
+        cy, ay = y
+        return cx + cy, jnp.minimum(ax + cy, ay)
+
+    _, d = jax.lax.associative_scan(combine, (c, a), axis=-1)
+    return d
+
+
+@partial(jax.jit, static_argnames=("step_pattern", "band"))
+def _fill_cost_matrix(
+    local: jnp.ndarray, step_pattern: str, band: int
+) -> jnp.ndarray:
+    """Returns the padded cost matrix [(N+1), (M+1)] (dtw.go:105-135)."""
+    n, m = local.shape
+    big = jnp.float32(3.4e38) / 4  # finite 'inf': keeps min-plus sums finite
+
+    # band mask: reference skips |i-j| > band for i,j in 1..N,1..M
+    if band > 0:
+        ii = jnp.arange(1, n + 1)[:, None]
+        jj = jnp.arange(1, m + 1)[None, :]
+        in_band = jnp.abs(ii - jj) <= band
+        local = jnp.where(in_band, local, big)
+
+    row0 = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.full((m,), big)])
+
+    extra = jnp.float32(1.0) if step_pattern == "symmetric1" else jnp.float32(0.0)
+
+    def row_step(prev_row, l_row):
+        # prev_row: [M+1] = cost[i-1][0..M]; l_row: [M] local costs of row i
+        up = prev_row[1:]          # D[i-1][j],   j=1..M
+        diag = prev_row[:-1]       # D[i-1][j-1], j=1..M
+        if step_pattern == "symmetric2":
+            v = jnp.minimum(jnp.minimum(up, diag), big)
+        elif step_pattern == "asymmetric":
+            # NOTE deviation from dtw.go:147-149: the reference's
+            # "asymmetric" = min(vertical, horizontal) never reaches
+            # cost[0][0] (no diagonal), so every cell is +Inf — dead code
+            # (SURVEY.md quirk policy). We implement the textbook
+            # Sakoe-Chiba asymmetric pattern instead: predecessors
+            # (i-1,j), (i-1,j-1), (i-1,j-2) — query index always advances.
+            diag2 = jnp.concatenate([jnp.full((1,), big), prev_row[:-2]])
+            v = jnp.minimum(jnp.minimum(up, diag), diag2)
+            a = jnp.minimum(l_row + v, big)
+            new_row = jnp.concatenate([jnp.full((1,), big), a])
+            return new_row, new_row
+        elif step_pattern == "symmetric1":
+            # min(up+1, diag); horizontal chain carries +1 (dtw.go:151-159)
+            v = jnp.minimum(up + 1.0, diag)
+        else:
+            raise ValueError(f"unknown step pattern {step_pattern}")
+        a = jnp.minimum(l_row + v, big)
+        c = jnp.minimum(l_row + extra, big)
+        d = _minplus_row_scan(a, c)
+        d = jnp.minimum(d, big)
+        new_row = jnp.concatenate([jnp.full((1,), big), d])
+        return new_row, new_row
+
+    _, rows = jax.lax.scan(row_step, row0, local)
+    cost = jnp.concatenate([row0[None, :], rows], axis=0)
+    return cost
+
+
+@partial(jax.jit, static_argnames=("n", "m"))
+def _backtrack(cost: jnp.ndarray, n: int, m: int):
+    """Greedy backtrack (dtw.go:165-217): from (N, M) step to the strict
+    minimum of [vertical (i-1,j), horizontal (i,j-1), diagonal (i-1,j-1)]
+    — ties break toward vertical, matching the Go loop order. Emits the
+    path end -> start; we reverse into start -> end order."""
+    max_len = n + m
+
+    def cond(state):
+        i, j, k, *_ = state
+        return (i > 0) | (j > 0)
+
+    def body(state):
+        i, j, k, qs, rs, cs = state
+        local_cost = jnp.where(
+            (i > 0) & (j > 0),
+            cost[i, j] - cost[i - 1, j - 1],
+            0.0,
+        )
+        qs = qs.at[k].set(i - 1)
+        rs = rs.at[k].set(j - 1)
+        cs = cs.at[k].set(local_cost)
+
+        up = jnp.where(i > 0, cost[i - 1, j], _INF)
+        left = jnp.where(j > 0, cost[i, j - 1], _INF)
+        diag = jnp.where((i > 0) & (j > 0), cost[i - 1, j - 1], _INF)
+        # strict-less preference order: up, left, diag
+        pick_left = left < up
+        pick_diag = (diag < up) & (diag < left)
+        ni = jnp.where(pick_diag, i - 1, jnp.where(pick_left, i, i - 1))
+        nj = jnp.where(pick_diag, j - 1, jnp.where(pick_left, j - 1, j))
+        # border handling (dtw.go:196-201)
+        ni = jnp.where(i == 0, 0, jnp.where(j == 0, i - 1, ni))
+        nj = jnp.where(i == 0, j - 1, jnp.where(j == 0, 0, nj))
+        return ni, nj, k + 1, qs, rs, cs
+
+    init = (
+        jnp.int32(n),
+        jnp.int32(m),
+        jnp.int32(0),
+        jnp.zeros(max_len, jnp.int32),
+        jnp.zeros(max_len, jnp.int32),
+        jnp.zeros(max_len, jnp.float32),
+    )
+    _, _, length, qs, rs, cs = jax.lax.while_loop(cond, body, init)
+
+    # reverse the filled prefix into start -> end order
+    idx = jnp.arange(max_len)
+    src = jnp.clip(length - 1 - idx, 0, max_len - 1)
+    valid = idx < length
+    qs_f = jnp.where(valid, qs[src], qs[jnp.clip(length - 1, 0, max_len - 1)])
+    rs_f = jnp.where(valid, rs[src], rs[jnp.clip(length - 1, 0, max_len - 1)])
+    cs_f = jnp.where(valid, cs[src], 0.0)
+    return qs_f, rs_f, cs_f, length
+
+
+def dtw_align(
+    query: jnp.ndarray,
+    reference: jnp.ndarray,
+    step_pattern: str = "symmetric2",
+    constraint_band: int = -1,
+    metric: str = "euclidean",
+) -> DTWResult:
+    """DTWAlignment.Align (dtw.go:56-103) for [N, D] x [M, D] sequences."""
+    if query.ndim == 1:
+        query = query[:, None]
+    if reference.ndim == 1:
+        reference = reference[:, None]
+    n, m = query.shape[0], reference.shape[0]
+    local = local_distance_matrix(
+        query.astype(jnp.float32), reference.astype(jnp.float32), metric
+    )
+    cost = _fill_cost_matrix(local, step_pattern, constraint_band)
+    qs, rs, cs, length = _backtrack(cost, n, m)
+    raw = cost[n, m]
+    distance = raw / jnp.maximum(length, 1).astype(jnp.float32)
+    return DTWResult(
+        distance=distance,
+        raw_distance=raw,
+        path_qidx=qs,
+        path_ridx=rs,
+        path_cost=cs,
+        path_length=length,
+        cost_matrix=cost,
+        query_length=n,
+        ref_length=m,
+        step_pattern=step_pattern,
+        constraint=constraint_band,
+    )
+
+
+def dtw_align_vectors(
+    query: jnp.ndarray,
+    reference: jnp.ndarray,
+    step_pattern: str = "symmetric2",
+    constraint_band: int = -1,
+) -> DTWResult:
+    """1-D helper (dtw.go:220-236)."""
+    return dtw_align(
+        query[:, None], reference[:, None], step_pattern, constraint_band
+    )
+
+
+def alignment_quality(result: DTWResult) -> dict:
+    """GetAlignmentQuality (dtw.go:246-283)."""
+    length = result.path_length
+    lf = jnp.maximum(length, 1).astype(jnp.float32)
+    expected = float(max(result.query_length, result.ref_length))
+    idx = jnp.arange(result.path_qidx.shape[0] - 1)
+    valid_step = idx + 1 < length
+    q_inc = result.path_qidx[1:] > result.path_qidx[:-1]
+    r_inc = result.path_ridx[1:] > result.path_ridx[:-1]
+    diag = jnp.sum((q_inc & r_inc & valid_step).astype(jnp.float32))
+    valid_pts = jnp.arange(result.path_cost.shape[0]) < length
+    total_cost = jnp.sum(jnp.where(valid_pts, result.path_cost, 0.0))
+    return {
+        "path_efficiency": expected / lf,
+        "diagonal_ratio": diag / jnp.maximum(lf - 1.0, 1.0),
+        "average_cost": total_cost / lf,
+        "normalized_distance": result.distance,
+    }
+
+
+def optimize_step_pattern(query: jnp.ndarray, reference: jnp.ndarray) -> str:
+    """OptimizeStepPattern (dtw.go:286-311): try all three, pick the
+    lowest normalized distance."""
+    best, best_d = "symmetric2", float("inf")
+    for pattern in ("symmetric2", "asymmetric", "symmetric1"):
+        d = float(dtw_align(query, reference, step_pattern=pattern).distance)
+        if d < best_d:
+            best, best_d = pattern, d
+    return best

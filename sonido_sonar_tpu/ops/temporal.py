@@ -1,0 +1,491 @@
+"""Temporal (time-domain) features.
+
+Reference parity: algorithms/temporal/*.go —
+  energy.go: short-time RMS energy (:25-50), log energy (:53-66), energy
+    entropy (:69-94), variance (:97-119, sample variance N-1), derivative
+    (:122-134), ratio (:136-155), loudness range (400 ms windows, 25%
+    overlap, -0.691 + 10 log10(E^2), 10th-95th percentile range in dB,
+    :157-225), peak energy (:228-247);
+  envelope.go: RMS / peak / Hilbert-style envelopes + smoothing;
+  onset_detection.go: spectral-flux peak picking w/ threshold + min
+    interval, energy-based variant, adaptive threshold;
+  silence_detection.go: energy-threshold silence segments, VAD, ratio;
+  tempo_estimation.go: onset-strength autocorrelation -> BPM + category;
+  attack_decay.go: attack/decay times, transient ratio;
+  dynamic_range.go: percentile dB range, crest factor.
+
+TPU design: everything is fixed-shape. Variable-length results (onsets,
+silence segments) are (mask, count) pairs over the frame axis; callers
+that need times multiply the mask index by hop/sr.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sonido_sonar_tpu.ops.framing import frame_signal
+
+_EPS = 1e-10
+
+
+# ---------------------------------------------------------------------
+# Energy (energy.go)
+# ---------------------------------------------------------------------
+
+def short_time_energy(
+    signal: jnp.ndarray, frame_size: int, hop_size: int
+) -> jnp.ndarray:
+    """Per-frame RMS energy, [..., N] -> [..., T] (energy.go:25-50)."""
+    frames = frame_signal(signal, frame_size, hop_size)
+    return jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+
+
+def log_energy(
+    signal: jnp.ndarray, frame_size: int, hop_size: int, floor: float = _EPS
+) -> jnp.ndarray:
+    """20 log10(max(rms, floor)) dB (energy.go:53-66)."""
+    e = short_time_energy(signal, frame_size, hop_size)
+    return 20.0 * jnp.log10(jnp.maximum(e, floor))
+
+
+def energy_entropy(energies: jnp.ndarray) -> jnp.ndarray:
+    """Shannon entropy (log2) of the energy distribution over frames,
+    [..., T] -> [...] (energy.go:69-94)."""
+    total = jnp.sum(energies, axis=-1, keepdims=True)
+    p = jnp.where(total > 0, energies / jnp.maximum(total, _EPS), 0.0)
+    terms = jnp.where(p > 0, -p * jnp.log2(jnp.maximum(p, _EPS)), 0.0)
+    return jnp.sum(terms, axis=-1)
+
+
+def energy_variance(energies: jnp.ndarray) -> jnp.ndarray:
+    """Sample variance (N-1 denominator), [..., T] -> [...]
+    (energy.go:97-119)."""
+    t = energies.shape[-1]
+    if t < 2:
+        return jnp.zeros(energies.shape[:-1], energies.dtype)
+    mean = jnp.mean(energies, axis=-1, keepdims=True)
+    return jnp.sum((energies - mean) ** 2, axis=-1) / (t - 1)
+
+
+def energy_derivative(energies: jnp.ndarray) -> jnp.ndarray:
+    """First difference, [..., T] -> [..., T-1] (energy.go:122-134)."""
+    return energies[..., 1:] - energies[..., :-1]
+
+
+def energy_ratio(e1: jnp.ndarray, e2: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise ratio, 0 where denominator <= 1e-10 (energy.go:136-155)."""
+    return jnp.where(e2 > _EPS, e1 / jnp.maximum(e2, _EPS), 0.0)
+
+
+def loudness_range(signal: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+    """EBU-R128-style loudness range in LU (energy.go:157-225).
+
+    400 ms windows, 25% hop, loudness = -0.691 + 10 log10(rms^2),
+    LRA = p95 - p10 of the loudness values.
+
+    NOTE deviation from the reference: energy.go feeds the (negative) dB
+    loudness values into calculatePercentileRange, which returns 0
+    whenever the high percentile is <= 0 — i.e. it returns 0 for ALL
+    real-world audio (|x| < 1 -> loudness < 0). That is dead code in
+    practice; we implement the EBU definition (difference in LU) instead.
+    """
+    window = int(0.4 * sample_rate)
+    hop = max(window // 4, 1)
+    if signal.shape[-1] < window:
+        return jnp.zeros(signal.shape[:-1], signal.dtype)
+    rms = short_time_energy(signal, window, hop)
+    loud = jnp.where(
+        rms > 0, -0.691 + 10.0 * jnp.log10(jnp.maximum(rms * rms, _EPS)), -70.0
+    )
+    t = loud.shape[-1]
+    s = jnp.sort(loud, axis=-1)
+    return s[..., int(0.95 * (t - 1))] - s[..., int(0.10 * (t - 1))]
+
+
+def percentile_range_db(values: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
+    """20 log10(v_hi / v_lo) over sorted values with floor-index
+    percentiles (energy.go:199-225)."""
+    t = values.shape[-1]
+    s = jnp.sort(values, axis=-1)
+    lo_idx = int(lo * (t - 1))
+    hi_idx = int(hi * (t - 1))
+    lo_v = jnp.maximum(s[..., lo_idx], _EPS)
+    hi_v = s[..., hi_idx]
+    return jnp.where(hi_v > 0, 20.0 * jnp.log10(hi_v / lo_v), 0.0)
+
+
+def peak_energy(
+    energies: jnp.ndarray, threshold: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Local-max peaks above threshold: (peak mask [..., T], count [...])
+    (energy.go:228-247). Endpoints are never peaks."""
+    left = energies[..., 1:-1] > energies[..., :-2]
+    right = energies[..., 1:-1] > energies[..., 2:]
+    above = energies[..., 1:-1] >= threshold
+    inner = left & right & above
+    pad = [(0, 0)] * (inner.ndim - 1) + [(1, 1)]
+    mask = jnp.pad(inner, pad)
+    return mask, jnp.sum(mask, axis=-1)
+
+
+# ---------------------------------------------------------------------
+# Envelope (envelope.go)
+# ---------------------------------------------------------------------
+
+def rms_envelope(
+    signal: jnp.ndarray, window_size: int = 512, hop_size: int = 256
+) -> jnp.ndarray:
+    """Sliding-window RMS envelope (envelope.go ComputeRMS; also the
+    speech extractor's extractSimpleEnvelope, speech.go:719-745)."""
+    return short_time_energy(signal, window_size, hop_size)
+
+
+def peak_envelope(
+    signal: jnp.ndarray, window_size: int = 512, hop_size: int = 256
+) -> jnp.ndarray:
+    """Per-window max |x| (envelope.go ComputePeak)."""
+    frames = frame_signal(signal, window_size, hop_size)
+    return jnp.max(jnp.abs(frames), axis=-1)
+
+
+def hilbert_envelope(signal: jnp.ndarray) -> jnp.ndarray:
+    """Analytic-signal magnitude via FFT (envelope.go ComputeHilbert).
+
+    |x + j H{x}| computed with the frequency-domain analytic construction.
+    """
+    n = signal.shape[-1]
+    spec = jnp.fft.fft(signal.astype(jnp.complex64), axis=-1)
+    h = jnp.zeros(n, dtype=jnp.float32)
+    if n % 2 == 0:
+        h = h.at[0].set(1.0).at[n // 2].set(1.0).at[1 : n // 2].set(2.0)
+    else:
+        h = h.at[0].set(1.0).at[1 : (n + 1) // 2].set(2.0)
+    analytic = jnp.fft.ifft(spec * h, axis=-1)
+    return jnp.abs(analytic).astype(jnp.float32)
+
+
+def smooth_envelope(env: jnp.ndarray, kernel: int = 5) -> jnp.ndarray:
+    """Moving-average smoothing (envelope.go smoothing)."""
+    k = jnp.ones(kernel, dtype=env.dtype) / kernel
+    flat = env.reshape(-1, env.shape[-1])
+    out = jax.vmap(lambda v: jnp.convolve(v, k, mode="same"))(flat)
+    return out.reshape(env.shape)
+
+
+# ---------------------------------------------------------------------
+# Onset detection (onset_detection.go:26-225)
+# ---------------------------------------------------------------------
+
+def adaptive_threshold(values: jnp.ndarray) -> jnp.ndarray:
+    """mean + 2*std (population), [..., T] -> [...]
+    (onset_detection.go AdaptiveThreshold; also speech.go:694-716)."""
+    mean = jnp.mean(values, axis=-1)
+    std = jnp.std(values, axis=-1)
+    return mean + 2.0 * std
+
+
+def detect_onsets_from_flux(
+    flux: jnp.ndarray,
+    hop_size: int,
+    sample_rate: int,
+    threshold: float = 0.3,
+    min_interval_sec: float = 0.05,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Spectral-flux peak picking -> (onset mask [..., T], count).
+
+    Peaks are local maxima above `threshold * max(flux)` separated by at
+    least `min_interval_sec` (onset_detection.go:26-120). The minimum
+    interval is enforced with a monotonic scan over frames.
+    """
+    peak = (
+        (flux[..., 1:-1] > flux[..., :-2])
+        & (flux[..., 1:-1] > flux[..., 2:])
+        & (flux[..., 1:-1] > threshold * jnp.max(flux, axis=-1, keepdims=True))
+    )
+    pad = [(0, 0)] * (peak.ndim - 1) + [(1, 1)]
+    cand = jnp.pad(peak, pad)
+    min_frames = max(int(min_interval_sec * sample_rate / hop_size), 1)
+
+    def scan_fn(last_onset, inputs):
+        i, is_cand = inputs
+        ok = is_cand & (i - last_onset >= min_frames)
+        new_last = jnp.where(ok, i, last_onset)
+        return new_last, ok
+
+    t = cand.shape[-1]
+    idx = jnp.arange(t)
+
+    def per_row(row):
+        _, kept = jax.lax.scan(scan_fn, -min_frames - 1, (idx, row))
+        return kept
+
+    flat = cand.reshape(-1, t)
+    mask = jax.vmap(per_row)(flat).reshape(cand.shape)
+    return mask, jnp.sum(mask, axis=-1)
+
+
+def detect_onsets_from_energy(
+    energies: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Energy-derivative onset detection used by the speech extractor
+    (speech.go:672-716): local maxima of the first difference above
+    mean + 2*std. Returns (mask over derivative index [..., T-1], count).
+    Mask index i corresponds to energy frame i+1."""
+    deriv = energy_derivative(energies)
+    thr = adaptive_threshold(deriv)[..., None]
+    peak = (
+        (deriv[..., 1:-1] > deriv[..., :-2])
+        & (deriv[..., 1:-1] > deriv[..., 2:])
+        & (deriv[..., 1:-1] > thr)
+    )
+    pad = [(0, 0)] * (peak.ndim - 1) + [(1, 1)]
+    mask = jnp.pad(peak, pad)
+    return mask, jnp.sum(mask, axis=-1)
+
+
+def attack_times_from_onsets(
+    onset_mask: jnp.ndarray,
+    energies: jnp.ndarray,
+    hop_size: int,
+    sample_rate: int,
+    lookback: int = 10,
+) -> jnp.ndarray:
+    """Per-frame attack time (seconds) where onset_mask is set, else 0
+    (speech.go:744-775): look back <=10 frames for energy < 10% of the
+    onset peak; attack = (onset - start) * hop/sr clamped to 0.1 s."""
+    t = energies.shape[-1]
+    m = onset_mask.shape[-1]
+    frame_time = hop_size / float(sample_rate)
+
+    # onset at derivative index i -> energy frame index i (reference uses
+    # the derivative index directly into the energy array)
+    def attack_at(i, row_e):
+        peak = row_e[i]
+        # look back up to `lookback` frames
+        js = i - 1 - jnp.arange(lookback)
+        valid = js >= 0
+        vals = jnp.where(valid, row_e[jnp.clip(js, 0, t - 1)], jnp.inf)
+        below = vals < 0.1 * peak
+        # first j (nearest) with energy < 10% peak
+        any_below = jnp.any(below)
+        first = jnp.argmax(below)
+        start = jnp.where(any_below, i - 1 - first, i)
+        at = (i - start) * frame_time
+        return jnp.minimum(at, 0.1)
+
+    def per_row(mask_row, e_row):
+        idx = jnp.arange(m)
+        ats = jax.vmap(lambda i: attack_at(jnp.minimum(i, t - 1), e_row))(idx)
+        return jnp.where(mask_row, ats, 0.0)
+
+    flat_mask = onset_mask.reshape(-1, m)
+    flat_e = energies.reshape(-1, t)
+    out = jax.vmap(per_row)(flat_mask, flat_e)
+    return out.reshape(onset_mask.shape)
+
+
+# ---------------------------------------------------------------------
+# Silence detection (silence_detection.go:20-235)
+# ---------------------------------------------------------------------
+
+def silence_mask_db(
+    signal: jnp.ndarray,
+    frame_size: int,
+    hop_size: int,
+    threshold_db: float = -40.0,
+) -> jnp.ndarray:
+    """Frames below an absolute dB threshold (silence_detection.go:20-80,
+    used by the music extractor at -40 dB)."""
+    e = log_energy(signal, frame_size, hop_size)
+    return e < threshold_db
+
+
+def silence_ratio_percentile(energies: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of frames at/below the 10th-percentile energy
+    (speech.go:587-668 — the reference's bubble-sorted percentile
+    threshold becomes a sort + index)."""
+    t = energies.shape[-1]
+    s = jnp.sort(energies, axis=-1)
+    thr = s[..., t // 10]
+    return jnp.mean((energies <= thr[..., None]).astype(jnp.float32), axis=-1)
+
+
+def pause_durations(
+    energies: jnp.ndarray,
+    hop_size: int,
+    sample_rate: int,
+    max_pauses: int = 64,
+    min_pause_sec: float = 0.1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Silence-run durations (seconds) below the 10th-percentile energy
+    threshold, >= 0.1 s (speech.go:585-640). Fixed-size output:
+    (durations [..., max_pauses], count [...])."""
+    t = energies.shape[-1]
+    s = jnp.sort(energies, axis=-1)
+    thr = s[..., t // 10][..., None]
+    silent = energies <= thr
+    frame_time = hop_size / float(sample_rate)
+
+    def per_row(sil_row):
+        # run-length encode silence runs with a scan
+        def step(carry, x):
+            run, durs, count = carry
+            i, is_sil = x
+            run_next = jnp.where(is_sil, run + 1, 0)
+            # a run ends when we transition silence -> sound
+            ended = (~is_sil) & (run > 0)
+            dur = run * frame_time
+            keep = ended & (dur > min_pause_sec) & (count < max_pauses)
+            durs = jnp.where(
+                keep,
+                durs.at[jnp.minimum(count, max_pauses - 1)].set(dur),
+                durs,
+            )
+            count = jnp.where(keep, count + 1, count)
+            return (run_next, durs, count), None
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.zeros(max_pauses, jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+        (run, durs, count), _ = jax.lax.scan(
+            step, init, (jnp.arange(t), sil_row)
+        )
+        # trailing pause
+        dur = run * frame_time
+        keep = (run > 0) & (dur > min_pause_sec) & (count < max_pauses)
+        durs = jnp.where(
+            keep, durs.at[jnp.minimum(count, max_pauses - 1)].set(dur), durs
+        )
+        count = jnp.where(keep, count + 1, count)
+        return durs, count
+
+    flat = silent.reshape(-1, t)
+    durs, counts = jax.vmap(per_row)(flat)
+    return (
+        durs.reshape(silent.shape[:-1] + (max_pauses,)),
+        counts.reshape(silent.shape[:-1]),
+    )
+
+
+# ---------------------------------------------------------------------
+# Tempo estimation (tempo_estimation.go:22-229)
+# ---------------------------------------------------------------------
+
+def estimate_tempo_autocorrelation(
+    onset_strength: jnp.ndarray,
+    hop_size: int,
+    sample_rate: int,
+    min_bpm: float = 60.0,
+    max_bpm: float = 200.0,
+) -> jnp.ndarray:
+    """BPM from the autocorrelation peak of the onset-strength envelope
+    within the BPM-implied lag range (tempo_estimation.go:120-229)."""
+    t = onset_strength.shape[-1]
+    x = onset_strength - jnp.mean(onset_strength, axis=-1, keepdims=True)
+    # full autocorrelation via rFFT (power spectrum -> irfft)
+    n_fft = 1 << int(np_ceil_log2(2 * t))
+    spec = jnp.fft.rfft(x, n=n_fft, axis=-1)
+    ac = jnp.fft.irfft(spec * jnp.conj(spec), n=n_fft, axis=-1)[..., :t]
+    frame_rate = sample_rate / hop_size
+    min_lag = max(int(frame_rate * 60.0 / max_bpm), 1)
+    max_lag = min(int(frame_rate * 60.0 / min_bpm) + 1, t)
+    if min_lag >= max_lag:
+        return jnp.zeros(onset_strength.shape[:-1], jnp.float32)
+    window = ac[..., min_lag:max_lag]
+    best = jnp.argmax(window, axis=-1) + min_lag
+    bpm = 60.0 * frame_rate / best.astype(jnp.float32)
+    return bpm
+
+
+def tempo_category(bpm: jnp.ndarray) -> jnp.ndarray:
+    """0=slow(<90) 1=moderate(<140) 2=fast (tempo_estimation.go category)."""
+    return jnp.where(bpm < 90.0, 0, jnp.where(bpm < 140.0, 1, 2))
+
+
+def np_ceil_log2(n: int) -> int:
+    k = 0
+    while (1 << k) < n:
+        k += 1
+    return k
+
+
+# ---------------------------------------------------------------------
+# Attack / decay (attack_decay.go:21-167)
+# ---------------------------------------------------------------------
+
+def attack_time(env: jnp.ndarray, frame_rate: float) -> jnp.ndarray:
+    """Time from 10% to 90% of the global peak on the rising side
+    (attack_decay.go:21-80), [..., T] -> [...] seconds."""
+    peak_idx = jnp.argmax(env, axis=-1)
+    peak = jnp.max(env, axis=-1)
+    t = env.shape[-1]
+    idx = jnp.arange(t)
+
+    def per_row(e, pi, pk):
+        before = idx <= pi
+        above10 = (e >= 0.1 * pk) & before
+        above90 = (e >= 0.9 * pk) & before
+        t10 = jnp.argmax(above10)  # first crossing of 10%
+        t90 = jnp.argmax(above90)
+        return jnp.maximum(t90 - t10, 0).astype(jnp.float32) / frame_rate
+
+    flat_e = env.reshape(-1, t)
+    flat_pi = peak_idx.reshape(-1)
+    flat_pk = peak.reshape(-1)
+    out = jax.vmap(per_row)(flat_e, flat_pi, flat_pk)
+    return out.reshape(env.shape[:-1])
+
+
+def decay_time(env: jnp.ndarray, frame_rate: float) -> jnp.ndarray:
+    """Time from 90% to 10% of the global peak on the falling side
+    (attack_decay.go:83-140)."""
+    rev = jnp.flip(env, axis=-1)
+    return attack_time(rev, frame_rate)
+
+
+def transient_ratio(env: jnp.ndarray) -> jnp.ndarray:
+    """Energy in fast-changing parts / total (attack_decay.go:143-167)."""
+    d = jnp.abs(env[..., 1:] - env[..., :-1])
+    thr = jnp.mean(d, axis=-1, keepdims=True) + jnp.std(d, axis=-1, keepdims=True)
+    trans = jnp.sum(jnp.where(d > thr, d, 0.0), axis=-1)
+    total = jnp.sum(d, axis=-1)
+    return jnp.where(total > 0, trans / jnp.maximum(total, _EPS), 0.0)
+
+
+# ---------------------------------------------------------------------
+# Dynamic range (dynamic_range.go:21-168)
+# ---------------------------------------------------------------------
+
+def dynamic_range_db(
+    signal: jnp.ndarray,
+    frame_size: int = 2048,
+    hop_size: int = 512,
+    low_pct: float = 0.10,
+    high_pct: float = 0.95,
+) -> jnp.ndarray:
+    """Percentile range of frame RMS in dB (dynamic_range.go:21-80)."""
+    rms = short_time_energy(signal, frame_size, hop_size)
+    return percentile_range_db(rms, low_pct, high_pct)
+
+
+def crest_factor(signal: jnp.ndarray) -> jnp.ndarray:
+    """Global peak/RMS (dynamic_range.go:83-110)."""
+    peak = jnp.max(jnp.abs(signal), axis=-1)
+    rms = jnp.sqrt(jnp.mean(signal * signal, axis=-1))
+    return jnp.where(rms > 0, peak / jnp.maximum(rms, _EPS), 0.0)
+
+
+def crest_factor_frames(
+    signal: jnp.ndarray, frame_size: int, hop_size: int
+) -> jnp.ndarray:
+    """Per-frame peak/RMS (dynamic_range.go:113-140; used by the music
+    extractor)."""
+    frames = frame_signal(signal, frame_size, hop_size)
+    peak = jnp.max(jnp.abs(frames), axis=-1)
+    rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+    return jnp.where(rms > 0, peak / jnp.maximum(rms, _EPS), 0.0)

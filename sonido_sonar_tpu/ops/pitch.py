@@ -1,0 +1,182 @@
+"""Pitch detection: YIN (FFT-accelerated), ACF, and frame-wise tracking.
+
+Reference parity: algorithms/tonal/pitch_detection.go —
+  YIN (:349-421): difference function d(tau) = sum_{j<H} (x[j]-x[j+tau])^2
+  with H = W/2 fixed; CMNDF d'(0)=1, d'(tau) = d(tau)*tau / sum_{1..tau} d;
+  first local minimum below threshold 0.15; parabolic interpolation;
+  confidence = 1 - cmndf[tau]; frequency validated against [min,max] Hz.
+  Defaults: window 1024, 80-1000 Hz (params at :160-175).
+  ACF method (:423-...): autocorrelation peak in the lag range.
+
+TPU formulation (SURVEY.md hard-part #5): the O(W^2) difference loop
+becomes d(tau) = E1 + S(tau) - 2 r(tau) where E1 = energy of the first
+half (constant), S(tau) = sliding half-window energy (cumsum lookup),
+and r(tau) = cross-correlation of the first half with the frame (one
+rFFT) — O(W log W), batched over all frames at once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-10
+
+
+@dataclass(frozen=True)
+class PitchParams:
+    """pitch_detection.go:160-175 defaults."""
+
+    sample_rate: int = 44100
+    window_size: int = 1024
+    min_freq: float = 80.0
+    max_freq: float = 1000.0
+    yin_threshold: float = 0.15
+    voicing_threshold: float = 0.45
+
+
+def _yin_difference(frames: jnp.ndarray) -> jnp.ndarray:
+    """d(tau) for tau in [0, W/2), batched [..., W] -> [..., W/2].
+
+    d(tau) = sum_{j<H} (x[j] - x[j+tau])^2,  H = W/2
+           = E1 + S(tau) - 2 * r(tau)
+    """
+    w = frames.shape[-1]
+    h = w // 2
+    x = frames.astype(jnp.float32)
+    first = x[..., :h]
+    e1 = jnp.sum(first * first, axis=-1, keepdims=True)
+
+    # S(tau) = sum_{j=tau}^{tau+H-1} x[j]^2 via cumsum
+    sq = x * x
+    csum = jnp.cumsum(sq, axis=-1)
+    zero = jnp.zeros_like(csum[..., :1])
+    csum0 = jnp.concatenate([zero, csum], axis=-1)  # csum0[k] = sum x[<k]^2
+    tau = jnp.arange(h)
+    s = csum0[..., tau + h] - csum0[..., tau]
+
+    # r(tau) = sum_{j<H} x[j] x[j+tau]: correlation of `first` against x.
+    # Use rFFT of size >= W + H padded to pow2.
+    n_fft = 1
+    while n_fft < w + h:
+        n_fft <<= 1
+    fx = jnp.fft.rfft(x, n=n_fft, axis=-1)
+    ff = jnp.fft.rfft(first, n=n_fft, axis=-1)
+    corr = jnp.fft.irfft(jnp.conj(ff) * fx, n=n_fft, axis=-1)
+    r = corr[..., :h]
+
+    return e1 + s - 2.0 * r
+
+
+def _cmndf(diff: jnp.ndarray) -> jnp.ndarray:
+    """Cumulative mean normalized difference (pitch_detection.go:365-372)."""
+    h = diff.shape[-1]
+    tau = jnp.arange(1, h, dtype=jnp.float32)
+    running = jnp.cumsum(diff[..., 1:], axis=-1)
+    cm = diff[..., 1:] * tau / jnp.maximum(running, _EPS)
+    one = jnp.ones_like(diff[..., :1])
+    return jnp.concatenate([one, cm], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def yin_pitch(
+    frames: jnp.ndarray, params: PitchParams = PitchParams()
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """YIN over frames [..., W] -> (pitch_hz, confidence, voicing), each [...].
+
+    Unvoiced / out-of-range frames get pitch 0, confidence 0 — matching
+    the reference's empty result (pitch_detection.go:392-421).
+    """
+    d = _yin_difference(frames)
+    cm = _cmndf(d)
+    h = cm.shape[-1]
+
+    # first tau >= 1 with cmndf < threshold and cmndf[tau] < cmndf[tau+1]
+    nxt = jnp.concatenate([cm[..., 1:], jnp.full_like(cm[..., :1], jnp.inf)], axis=-1)
+    cand = (cm < params.yin_threshold) & (cm < nxt)
+    cand = cand.at[..., 0].set(False)
+    has = jnp.any(cand, axis=-1)
+    min_tau = jnp.argmax(cand, axis=-1)  # first True
+
+    # parabolic interpolation on cmndf around min_tau
+    tm1 = jnp.clip(min_tau - 1, 0, h - 1)
+    tp1 = jnp.clip(min_tau + 1, 0, h - 1)
+    y0 = jnp.take_along_axis(cm, tm1[..., None], axis=-1)[..., 0]
+    y1 = jnp.take_along_axis(cm, min_tau[..., None], axis=-1)[..., 0]
+    y2 = jnp.take_along_axis(cm, tp1[..., None], axis=-1)[..., 0]
+    denom = y0 - 2.0 * y1 + y2
+    shift = jnp.where(
+        jnp.abs(denom) > _EPS, 0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0), 0.0
+    )
+    interior = (min_tau > 0) & (min_tau < h - 1)
+    period = min_tau.astype(jnp.float32) + jnp.where(interior, shift, 0.0)
+
+    freq = params.sample_rate / jnp.maximum(period, _EPS)
+    confidence = 1.0 - y1
+    in_range = (freq >= params.min_freq) & (freq <= params.max_freq)
+    ok = has & in_range
+    pitch = jnp.where(ok, freq, 0.0)
+    conf = jnp.where(ok, confidence, 0.0)
+    return pitch, conf, conf  # Voicing = confidence (pitch_detection.go:405)
+
+
+def acf_pitch(
+    frames: jnp.ndarray, params: PitchParams = PitchParams()
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Autocorrelation pitch: normalized ACF peak within the lag range
+    implied by [min_freq, max_freq] (pitch_detection.go:423-...)."""
+    w = frames.shape[-1]
+    x = frames.astype(jnp.float32)
+    x = x - jnp.mean(x, axis=-1, keepdims=True)
+    n_fft = 1
+    while n_fft < 2 * w:
+        n_fft <<= 1
+    f = jnp.fft.rfft(x, n=n_fft, axis=-1)
+    ac = jnp.fft.irfft(f * jnp.conj(f), n=n_fft, axis=-1)[..., :w]
+    ac0 = jnp.maximum(ac[..., :1], _EPS)
+    nac = ac / ac0
+
+    min_lag = max(int(params.sample_rate / params.max_freq), 1)
+    max_lag = min(int(params.sample_rate / params.min_freq) + 1, w - 1)
+    if min_lag >= max_lag:
+        z = jnp.zeros(frames.shape[:-1], jnp.float32)
+        return z, z
+    window = nac[..., min_lag:max_lag]
+    best = jnp.argmax(window, axis=-1) + min_lag
+    peak = jnp.take_along_axis(nac, best[..., None], axis=-1)[..., 0]
+    pitch = params.sample_rate / best.astype(jnp.float32)
+    ok = peak > 0.3  # AutocorrThreshold (pitch_detection.go:168)
+    return jnp.where(ok, pitch, 0.0), jnp.where(ok, peak, 0.0)
+
+
+def detect_pitch_track(
+    pcm: jnp.ndarray,
+    sample_rate: int,
+    frame_size: int = 1024,
+    hop_size: int = 512,
+    params: PitchParams | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Frame-wise YIN pitch track over PCM [..., N] ->
+    (pitch, confidence, voicing) each [..., T].
+
+    The fixed 1024/512 framing matches the extractors' hardcoded values
+    (extractors/speech.go:468-469 — reference quirk #8, preserved as the
+    default but configurable here)."""
+    from sonido_sonar_tpu.ops.framing import frame_signal
+
+    p = params or PitchParams(sample_rate=sample_rate, window_size=frame_size)
+    frames = frame_signal(pcm, frame_size, hop_size)
+    return yin_pitch(frames, p)
+
+
+def median_filter_pitch(pitch: jnp.ndarray, width: int = 5) -> jnp.ndarray:
+    """Median smoothing of a pitch track (pitch_detection.go:767+)."""
+    pad = width // 2
+    padded = jnp.pad(pitch, [(0, 0)] * (pitch.ndim - 1) + [(pad, pad)], mode="edge")
+    idx = jnp.arange(pitch.shape[-1])[:, None] + jnp.arange(width)[None, :]
+    windows = padded[..., idx]
+    return jnp.median(windows, axis=-1)

@@ -1,0 +1,484 @@
+"""Hybrid alignment analyzer: cross-correlation + DTW with confidence
+and quality scoring.
+
+Reference parity: algorithms/stats/alignment.go —
+  methods DTW / CrossCorrelation / PhaseCorrelation(enum only) / Hybrid
+  (:9-17); xcorr path flattens 2-D features to their first component
+  (:363-378) and uses normalized cross-correlation over the overlap
+  region; hybrid = xcorr first, accept if confidence > 0.7, else DTW,
+  else blend 0.6/0.4 confidence and 0.7/0.3 similarity (:308-337);
+  hand-tuned confidence/quality constants ported verbatim (:183-305);
+  path stability/smoothness/cost-consistency/diagonal-bias (:420-601);
+  consistency via deterministic sin-noise trials (:710-749).
+
+Offset-unit note (SURVEY.md quirk #5): the reference divides the DTW
+*frame* offset by sampleRate but multiplies the xcorr frame lag by
+hopSize first — inconsistent units. Here BOTH paths report
+`offset` in samples (frame offset * hop_size), anchored to the live
+xcorr path's semantics, and `offset_seconds = offset / sample_rate`.
+
+TPU notes: feature series are short (T = seconds * sr / hop), so the
+whole analyzer jits per-method; the hybrid's accept-or-refine decision
+is a host-side scalar branch, mirroring the reference control flow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonido_sonar_tpu.ops.stats.correlation import CorrelationResult, z_normalize
+from sonido_sonar_tpu.ops.stats.correlation import _peak_metrics  # shared metrics
+from sonido_sonar_tpu.ops.stats.dtw import DTWResult, dtw_align
+
+_EPS = 1e-10
+
+
+@dataclass
+class AlignmentResult:
+    """AlignmentResult (alignment.go:33-58)."""
+
+    method: str
+    offset: int                 # samples (negative = query delayed)
+    offset_seconds: float
+    confidence: float
+    similarity: float
+    alignment_quality: float
+    noise_level: float = 0.0
+    stability: float = 0.0
+    query_length: int = 0
+    reference_length: int = 0
+    sample_rate: int = 0
+    processing_time: float = 0.0
+    dtw_result: Optional[DTWResult] = None
+    cross_corr_result: Optional[CorrelationResult] = None
+
+
+class AlignmentAnalyzer:
+    """AlignmentAnalyzer (alignment.go:22-84)."""
+
+    def __init__(
+        self,
+        method: str = "hybrid",
+        max_lag: int = 0,
+        sample_rate: int = 44100,
+        hop_size: int = 512,
+        window_size: int = 2048,
+        confidence_threshold: float = 0.6,
+        dtw_band: int = -1,
+    ):
+        self.method = method
+        self.max_lag = max_lag
+        self.sample_rate = sample_rate
+        self.hop_size = hop_size
+        self.window_size = window_size
+        self.confidence_threshold = confidence_threshold
+        self.dtw_band = dtw_band
+
+    # -- public API ------------------------------------------------------
+    def align_features(
+        self, query: jnp.ndarray, reference: jnp.ndarray, sample_rate: int = 0
+    ) -> AlignmentResult:
+        """AlignFeatures (alignment.go:84-106). query/reference: [T, D]
+        or [T] feature series."""
+        sr = sample_rate or self.sample_rate
+        if query.ndim == 1:
+            query = query[:, None]
+        if reference.ndim == 1:
+            reference = reference[:, None]
+        if self.method == "dtw":
+            return self._align_dtw(query, reference, sr)
+        if self.method in ("correlation", "cross_correlation"):
+            return self._align_xcorr(query, reference, sr)
+        if self.method == "hybrid":
+            return self._align_hybrid(query, reference, sr)
+        raise ValueError(f"unsupported alignment method {self.method}")
+
+    def align_audio(
+        self, query_pcm: jnp.ndarray, reference_pcm: jnp.ndarray, sample_rate: int = 0
+    ) -> AlignmentResult:
+        """AlignAudio (alignment.go:109-130): short-time RMS energy series
+        then feature alignment."""
+        from sonido_sonar_tpu.ops.temporal import short_time_energy
+
+        sr = sample_rate or self.sample_rate
+        q = short_time_energy(query_pcm, self.window_size, self.hop_size)
+        r = short_time_energy(reference_pcm, self.window_size, self.hop_size)
+        return self.align_features(q[:, None], r[:, None], sr)
+
+    def find_best_alignment(
+        self, query: jnp.ndarray, reference: jnp.ndarray, sample_rate: int = 0
+    ) -> AlignmentResult:
+        """FindBestAlignment (alignment.go:673-700): try xcorr and DTW,
+        keep max(0.6*confidence + 0.4*similarity)."""
+        best, best_score = None, -1.0
+        for m in ("correlation", "dtw"):
+            prev = self.method
+            self.method = m
+            try:
+                res = self.align_features(query, reference, sample_rate)
+            finally:
+                self.method = prev
+            score = 0.6 * res.confidence + 0.4 * res.similarity
+            if score > best_score:
+                best, best_score = res, score
+        if best is None:
+            raise RuntimeError("all alignment methods failed")
+        return best
+
+    # -- cross-correlation path -------------------------------------------
+    def _align_xcorr(
+        self, query: jnp.ndarray, reference: jnp.ndarray, sr: int
+    ) -> AlignmentResult:
+        """alignWithCrossCorrelation (alignment.go:151-181)."""
+        qv = query[:, 0]  # flatten2DFeatures: first component (:363-378)
+        rv = reference[:, 0]
+        n1, n2 = qv.shape[-1], rv.shape[-1]
+        max_lag = self.max_lag if self.max_lag > 0 else max(n1, n2) - 1
+        max_lag = max(min(max_lag, n1 - 1, n2 - 1), 0)
+        corr = ncc_overlap(qv, rv, max_lag)
+
+        peak_corr = float(corr.peak_correlation)
+        peak_lag = int(corr.peak_lag)
+        similarity = min(1.0, max(0.0, abs(peak_corr)))
+        confidence = correlation_confidence(corr)
+        quality = correlation_quality(corr, self.max_lag)
+        offset = peak_lag * self.hop_size
+        return AlignmentResult(
+            method="correlation",
+            offset=offset,
+            offset_seconds=offset / float(sr),
+            confidence=confidence,
+            similarity=similarity,
+            alignment_quality=quality,
+            noise_level=1.0 - float(corr.snr) / 20.0,
+            query_length=n1,
+            reference_length=n2,
+            sample_rate=sr,
+            cross_corr_result=corr,
+        )
+
+    # -- DTW path -----------------------------------------------------------
+    def _align_dtw(
+        self, query: jnp.ndarray, reference: jnp.ndarray, sr: int
+    ) -> AlignmentResult:
+        """alignWithDTW (alignment.go:133-149). Offset = mean path
+        displacement in frames, converted to samples via hop_size (see
+        offset-unit note in the module docstring)."""
+        dtw = dtw_align(query, reference, constraint_band=self.dtw_band)
+        L = int(dtw.path_length)
+        qi = np.asarray(dtw.path_qidx)[:L]
+        ri = np.asarray(dtw.path_ridx)[:L]
+        costs = np.asarray(dtw.path_cost)[:L]
+
+        offset_frames = int(np.sum(ri - qi)) // max(L, 1)
+        offset = offset_frames * self.hop_size
+        similarity = dtw_similarity(dtw, qi, ri, costs)
+        confidence = dtw_confidence(dtw, qi, ri, costs)
+        quality = dtw_quality(dtw, qi, ri, costs)
+        stability = path_stability(qi, ri)
+        return AlignmentResult(
+            method="dtw",
+            offset=offset,
+            offset_seconds=offset / float(sr),
+            confidence=confidence,
+            similarity=similarity,
+            alignment_quality=quality,
+            stability=stability,
+            query_length=int(query.shape[0]),
+            reference_length=int(reference.shape[0]),
+            sample_rate=sr,
+            dtw_result=dtw,
+        )
+
+    # -- hybrid ---------------------------------------------------------------
+    def _align_hybrid(
+        self, query: jnp.ndarray, reference: jnp.ndarray, sr: int
+    ) -> AlignmentResult:
+        """alignWithHybrid (alignment.go:308-337)."""
+        corr_res = self._align_xcorr(query, reference, sr)
+        if corr_res.confidence > 0.7:
+            return corr_res
+        try:
+            dtw_res = self._align_dtw(query, reference, sr)
+        except Exception:
+            return corr_res
+        return AlignmentResult(
+            method="hybrid",
+            offset=dtw_res.offset,
+            offset_seconds=dtw_res.offset_seconds,
+            confidence=0.6 * dtw_res.confidence + 0.4 * corr_res.confidence,
+            similarity=0.7 * dtw_res.similarity + 0.3 * corr_res.similarity,
+            alignment_quality=dtw_res.alignment_quality,
+            noise_level=corr_res.noise_level,
+            stability=dtw_res.stability,
+            query_length=corr_res.query_length,
+            reference_length=corr_res.reference_length,
+            sample_rate=sr,
+            dtw_result=dtw_res.dtw_result,
+            cross_corr_result=corr_res.cross_corr_result,
+        )
+
+    # -- consistency (alignment.go:710-795) ---------------------------------
+    def analyze_alignment_consistency(
+        self,
+        query: jnp.ndarray,
+        reference: jnp.ndarray,
+        sample_rate: int = 0,
+        num_trials: int = 5,
+    ) -> dict:
+        if num_trials < 2:
+            num_trials = 5
+        if query.ndim == 1:
+            query = query[:, None]
+        if reference.ndim == 1:
+            reference = reference[:, None]
+        q = np.asarray(query, dtype=np.float64)
+        offsets = []
+        for _ in range(num_trials):
+            # deterministic pseudo-noise (alignment.go:752-764)
+            i = np.arange(q.shape[0])[:, None]
+            j = np.arange(q.shape[1])[None, :]
+            noise = np.sin((i * j + i + j).astype(np.float64)) * 0.01 * q
+            perturbed = jnp.asarray((q + noise).astype(np.float32))
+            res = self.align_features(perturbed, reference, sample_rate)
+            offsets.append(float(res.offset))
+        return offset_stats(offsets)
+
+
+# ---------------------------------------------------------------------
+# NCC over overlap region, FFT-accelerated
+# ---------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_lag", "n1", "n2"))
+def _ncc_arrays(qv, rv, max_lag: int, n1: int, n2: int):
+    """Per-lag NCC = sum(x1*x2) / sqrt(sum(x1^2) sum(x2^2)) over the
+    overlap at each lag, after whole-signal z-normalization — exactly the
+    analyzer's NormalizedCrossCorrelation+normalizeInputs configuration
+    (alignment.go:62-70, correlation.go:373-410).
+
+    Numerator via one rFFT correlation; denominators via prefix sums of
+    squares over the overlap windows (exact, O(L) lookups).
+    """
+    x1 = z_normalize(qv.astype(jnp.float32))
+    x2 = z_normalize(rv.astype(jnp.float32))
+    size = 1
+    while size < n1 + n2 - 1:
+        size <<= 1
+    f1 = jnp.fft.rfft(x1, n=size, axis=-1)
+    f2 = jnp.fft.rfft(x2, n=size, axis=-1)
+    corr_full = jnp.fft.irfft(f1 * jnp.conj(f2), n=size, axis=-1)
+    pos = corr_full[..., : max_lag + 1]
+    neg = corr_full[..., size - max_lag :] if max_lag > 0 else corr_full[..., :0]
+    num = jnp.concatenate([neg, pos], axis=-1)
+
+    # prefix sums of squares, padded with leading 0
+    c1 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(x1 * x1)])
+    c2 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(x2 * x2)])
+    lags = jnp.arange(-max_lag, max_lag + 1)
+
+    # overlap region (correlation.go:421-449): for lag >= 0 x1[0:n2-lag]
+    # pairs with x2[lag:n2] (clipped by n1); for lag < 0, x1[-lag:n1]
+    # pairs with x2[0:n1+lag] (clipped by n2).
+    start1 = jnp.where(lags >= 0, 0, -lags)
+    end1 = jnp.where(lags >= 0, jnp.minimum(n1, n2 - lags), n1)
+    length = jnp.maximum(end1 - start1, 0)
+    start2 = jnp.where(lags >= 0, lags, 0)
+    end2 = start2 + length
+
+    e1 = c1[jnp.clip(end1, 0, n1)] - c1[jnp.clip(start1, 0, n1)]
+    e2 = c2[jnp.clip(end2, 0, n2)] - c2[jnp.clip(start2, 0, n2)]
+    den = jnp.sqrt(jnp.maximum(e1 * e2, 0.0))
+    ncc = jnp.where(den < _EPS, 0.0, num / jnp.maximum(den, _EPS))
+    return jnp.clip(ncc, -1.0, 1.0)
+
+
+def ncc_overlap(qv: jnp.ndarray, rv: jnp.ndarray, max_lag: int) -> CorrelationResult:
+    n1, n2 = qv.shape[-1], rv.shape[-1]
+    max_lag = max(min(max_lag, n1 - 1, n2 - 1), 0)
+    corr = _ncc_arrays(qv, rv, max_lag, n1, n2)
+    lags = jnp.arange(-max_lag, max_lag + 1, dtype=jnp.int32)
+    metrics = _peak_metrics(corr, max_lag, n1, n2)
+    return CorrelationResult(corr, lags, *metrics, max_lag=max_lag)
+
+
+# ---------------------------------------------------------------------
+# Confidence / quality scoring (verbatim constants)
+# ---------------------------------------------------------------------
+
+def correlation_confidence(corr: CorrelationResult) -> float:
+    """calculateCorrelationConfidence (alignment.go:183-243)."""
+    peak = abs(float(corr.peak_correlation))
+    if peak < 0.1:
+        return 0.0
+    peak_score = peak + (peak - 0.6) * 0.5 if peak >= 0.6 else peak
+    sharpness = float(corr.sharpness)
+    sharpness_score = min(0.9, sharpness * 8.0)
+    psl = float(corr.peak_to_sidelobe)
+    sidelobe_score = min(0.8, psl / 15.0) if (psl > 0 and np.isfinite(psl)) else 0.0
+    snr = float(corr.snr)
+    snr_score = min(0.7, snr / 25.0) if snr > 0 else 0.0
+    second = float(corr.second_peak)
+    second_penalty = 0.0
+    if second != 0 and peak > 0:
+        ratio = abs(second) / peak
+        if ratio > 0.7:
+            second_penalty = (ratio - 0.7) * 0.25
+    excellence = 0.12 if peak >= 0.75 else (0.08 if peak >= 0.6 else 0.0)
+    confidence = (
+        0.55 * peak_score
+        + 0.22 * sharpness_score
+        + 0.12 * sidelobe_score
+        + 0.06 * snr_score
+        + 0.05 * 0.15
+        + excellence
+        - second_penalty
+    )
+    return min(0.95, max(0.0, confidence))
+
+
+def correlation_quality(corr: CorrelationResult, max_lag: int) -> float:
+    """calculateCorrelationQuality (alignment.go:245-305)."""
+    peak = abs(float(corr.peak_correlation))
+    if peak < 0.08:
+        return 0.0
+    peak_q = peak + (peak - 0.6) * 0.4 if peak >= 0.6 else peak
+    sharp_q = min(0.85, float(corr.sharpness) * 5.0)
+    psl = float(corr.peak_to_sidelobe)
+    side_q = min(0.7, psl / 20.0) if (psl > 0 and np.isfinite(psl)) else 0.0
+    snr = float(corr.snr)
+    snr_q = min(0.6, snr / 30.0) if snr > 0 else 0.0
+    lag_penalty = 0.0
+    peak_lag = int(corr.peak_lag)
+    if max_lag > 0 and peak_lag < 0:
+        neg_ratio = abs(peak_lag) / max_lag
+        if neg_ratio > 0.90:
+            lag_penalty = (neg_ratio - 0.90) * 4.0
+    bonus = 0.10 if peak >= 0.7 else (0.06 if peak >= 0.55 else 0.0)
+    q = (
+        0.50 * peak_q + 0.25 * sharp_q + 0.15 * side_q + 0.10 * snr_q
+        + bonus - lag_penalty
+    )
+    return min(1.0, max(0.0, q))
+
+
+def _cost_consistency(costs: np.ndarray) -> float:
+    """calculateCostConsistency (alignment.go:455-500)."""
+    n = len(costs)
+    if n <= 1:
+        return 0.0
+    w = max(min(5, n // 4), 2)
+    smoothed = np.empty(n)
+    for i in range(n):
+        lo = max(0, i - w // 2)
+        hi = min(n - 1, i + w // 2)
+        smoothed[i] = costs[lo : hi + 1].mean()
+    mean = smoothed.mean()
+    if mean <= 1e-10:
+        return 1.0
+    cv = smoothed.std() / mean
+    return 1.0 / (1.0 + cv)
+
+
+def _diagonal_bias(qi: np.ndarray, ri: np.ndarray) -> float:
+    """calculateDiagonalBias (alignment.go:502-529)."""
+    if len(qi) <= 1:
+        return 1.0
+    dq = np.diff(qi)
+    dr = np.diff(ri)
+    ratio = float(((dq > 0) & (dr > 0)).sum()) / (len(qi) - 1)
+    return 1.0 / (1.0 + np.exp(-10.0 * (ratio - 0.3)))
+
+
+def _path_smoothness(qi: np.ndarray, ri: np.ndarray) -> float:
+    """calculatePathSmoothness (alignment.go:570-607)."""
+    if len(qi) <= 2:
+        return 1.0
+    dq = np.diff(qi)
+    dr = np.diff(ri)
+    changes = int(((dq[1:] != dq[:-1]) | (dr[1:] != dr[:-1])).sum())
+    return max(0.0, 1.0 - changes / (len(qi) - 1))
+
+
+def path_stability(qi: np.ndarray, ri: np.ndarray) -> float:
+    """calculatePathStability (alignment.go:625-652)."""
+    if len(qi) < 3:
+        return 0.0
+    dq = np.diff(qi)
+    dr = np.diff(ri)
+    changes = int(((dq[1:] != dq[:-1]) | (dr[1:] != dr[:-1])).sum())
+    return max(0.0, 1.0 - changes / (len(qi) - 1))
+
+
+def dtw_similarity(dtw: DTWResult, qi, ri, costs) -> float:
+    """calculateSimilarityFromDTW (alignment.go:380-411)."""
+    avg_len = (dtw.query_length + dtw.ref_length) / 2.0
+    if avg_len == 0:
+        return 0.0
+    nd = float(dtw.distance) / avg_len
+    dist_sim = 1.0 / (1.0 + nd)
+    quality = dtw_quality(dtw, qi, ri, costs)
+    mean_cost = float(costs.mean()) if len(costs) else 0.0
+    cost_sim = 1.0 / (1.0 + mean_cost)
+    return min(1.0, max(0.0, 0.5 * dist_sim + 0.3 * quality + 0.2 * cost_sim))
+
+
+def dtw_confidence(dtw: DTWResult, qi, ri, costs) -> float:
+    """calculateDTWConfidence (alignment.go:418-453)."""
+    if len(qi) == 0:
+        return 0.0
+    avg_len = (dtw.query_length + dtw.ref_length) / 2.0
+    if avg_len == 0:
+        return 0.0
+    nd = float(dtw.distance) / avg_len
+    c1 = np.exp(-nd * 2.0)
+    expected = max(dtw.query_length, dtw.ref_length)
+    eff = min(1.0, expected / len(qi))
+    consistency = _cost_consistency(costs)
+    diag = _diagonal_bias(qi, ri)
+    return float(
+        min(1.0, max(0.0, 0.4 * c1 + 0.25 * eff + 0.2 * consistency + 0.15 * diag))
+    )
+
+
+def dtw_quality(dtw: DTWResult, qi, ri, costs) -> float:
+    """calculateDTWQuality (alignment.go:544-568)."""
+    if len(qi) == 0:
+        return 0.0
+    expected = max(dtw.query_length, dtw.ref_length)
+    eff = min(1.0, expected / len(qi))
+    diag = _diagonal_bias(qi, ri)
+    smooth = _path_smoothness(qi, ri)
+    stability = _cost_consistency(costs)
+    return float(
+        min(1.0, max(0.0, 0.3 * eff + 0.3 * diag + 0.2 * smooth + 0.2 * stability))
+    )
+
+
+def offset_stats(offsets) -> dict:
+    """calculateOffsetStats (alignment.go:766-801) -> AlignmentStats."""
+    o = np.asarray(offsets, dtype=np.float64)
+    if len(o) == 0:
+        return dict(
+            mean_offset=0.0, stddev_offset=0.0, median_offset=0.0,
+            offset_range=0.0, consistency=1.0,
+        )
+    mean = o.mean()
+    std = o.std()
+    med = float(np.median(o))
+    rng = float(o.max() - o.min())
+    consistency = 1.0
+    if mean != 0:
+        consistency = 1.0 / (1.0 + std / abs(mean))
+    return dict(
+        mean_offset=float(mean),
+        stddev_offset=float(std),
+        median_offset=med,
+        offset_range=rng,
+        consistency=float(consistency),
+    )

@@ -1,0 +1,105 @@
+"""Benchmark: fingerprint throughput on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric (BASELINE.json): fingerprint throughput at window=1024 hop=256 on
+44.1 kHz mono audio, expressed as audio-hours processed per wall-clock
+hour per chip. Baseline target: 1000 audio-hours/hour on a v5e-8
+(= 125 per chip); vs_baseline is measured against the per-chip share.
+
+Also measures the 60 s-maxlag alignment wall-clock as a secondary line
+of evidence (stderr), keeping stdout to the single required JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from sonido_sonar_tpu.ops.stats.correlation import cross_correlate_fft
+    from sonido_sonar_tpu.parallel.pipeline import batched_fingerprint_features
+
+    sr = 44100
+    clip_seconds = 30
+    batch = 16  # 16 x 30 s = 8 min of audio per step
+    n = sr * clip_seconds
+
+    rng = np.random.default_rng(0)
+    # distinct pre-uploaded inputs per iteration so no caching/CSE can
+    # elide work. Timing fence: a host fetch of a reduction over the
+    # output each iteration (block_until_ready alone is not a reliable
+    # completion fence on the remote TPU tunnel).
+    iters = 8
+    inputs = [
+        jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32) * 0.1)
+        for _ in range(3)
+    ]
+    jax.block_until_ready(inputs)
+
+    def step(x):
+        return batched_fingerprint_features(
+            x, sample_rate=sr, window_size=1024, hop_size=256
+        )
+
+    # warmup / compile (incl. one fetch)
+    float(step(inputs[0])["mfcc"].sum())
+
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = step(inputs[i % len(inputs)])
+        float(out["mfcc"].sum())  # completion fence
+        times.append(time.perf_counter() - t0)
+    per_step = sorted(times)[len(times) // 2]
+    elapsed = per_step * iters
+    print(
+        f"[bench] per-step median: {per_step*1000:.2f} ms for "
+        f"{batch}x{clip_seconds}s clips",
+        file=sys.stderr,
+    )
+
+    audio_seconds = iters * batch * clip_seconds
+    audio_hours_per_hour = audio_seconds / elapsed  # ratio is unitless
+    frames_per_sec = audio_seconds * (sr / 256) / elapsed
+
+    # secondary: 60 s-maxlag alignment wall-clock (2 x 120 s streams)
+    x1 = jnp.asarray(rng.standard_normal(sr * 120).astype(np.float32))
+    x2 = jnp.roll(x1, sr // 2)
+    res = cross_correlate_fft(x1, x2, max_lag=sr * 60)
+    jax.block_until_ready(res.peak_lag)
+    t0 = time.perf_counter()
+    res = cross_correlate_fft(x1, x2, max_lag=sr * 60)
+    jax.block_until_ready(res.peak_lag)
+    align_wall = time.perf_counter() - t0
+    print(
+        f"[bench] fingerprint: {audio_hours_per_hour:.0f} audio-h/h/chip "
+        f"({frames_per_sec/1e6:.2f}M frames/s); 60s-maxlag xcorr on 120s "
+        f"streams: {align_wall*1000:.1f} ms",
+        file=sys.stderr,
+    )
+
+    # baseline: 1000 audio-hours/hour on v5e-8 => 125 per chip
+    per_chip_target = 1000.0 / 8.0
+    print(
+        json.dumps(
+            {
+                "metric": "fingerprint_throughput_audio_hours_per_hour_per_chip",
+                "value": round(audio_hours_per_hour, 1),
+                "unit": "audio_hours/wall_hour/chip",
+                "vs_baseline": round(audio_hours_per_hour / per_chip_target, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,382 @@
+"""Alignment extractor: multi-feature temporal alignment for CDN latency.
+
+Reference parity: fingerprint/extractors/alignment.go —
+  max lag conversion maxLagSeconds -> samples -> frames via hop
+  (:75-135); multi-feature alignment (:299-354): active features are
+  corr_energy (cross-correlation on short-time energy, weight 1.0) and
+  dtw_chroma (DTW on chroma frames, weight 0.7); dtw_mfcc / dtw_centroid
+  are commented out upstream (quirk #2) — we keep them available behind
+  `enable_all_features`; best = max weight * (0.4*conf + 0.4*sim +
+  0.2*quality) (:412-445); time stretch = 0.7*path slope + 0.3*length
+  ratio (:448-476); TruncateToAlignmentPCM crops both PCMs to the
+  overlap plus 0.5 s edge padding (:223-297); consistency analysis
+  disabled as a bottleneck upstream (:202-209) but available here.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sonido_sonar_tpu.config.config import AlignmentConfig, ContentType, FeatureConfig
+from sonido_sonar_tpu.extractors.features import ExtractedFeatures
+from sonido_sonar_tpu.logging import get_global_logger
+from sonido_sonar_tpu.ops.stats.alignment import AlignmentAnalyzer, AlignmentResult
+from sonido_sonar_tpu.ops.temporal import short_time_energy
+
+# selectBestAlignment weights (alignment.go:412-430)
+_FEATURE_WEIGHTS = {
+    "corr_energy": 1.0,
+    "dtw_chroma": 0.7,
+    "dtw_mfcc": 1.0,      # reference's commented-out intent
+    "dtw_centroid": 0.6,
+    "default": 0.5,
+}
+
+
+@dataclass
+class FeatureAlignment:
+    """extractors.AlignmentResult wrapper (alignment.go:64-70)."""
+
+    result: Optional[AlignmentResult]
+    feature_type: str
+    success: bool
+    error: str = ""
+
+
+@dataclass
+class AlignmentFeatures:
+    """AlignmentFeatures (alignment.go:35-61)."""
+
+    best_alignment: Optional[FeatureAlignment] = None
+    dtw_alignment: Optional[FeatureAlignment] = None
+    corr_alignment: Optional[FeatureAlignment] = None
+    temporal_offset: float = 0.0
+    offset_confidence: float = 0.0
+    time_stretch: float = 1.0
+    alignment_similarity: float = 0.0
+    feature_similarity: Dict[str, float] = field(default_factory=dict)
+    alignment_quality: float = 0.0
+    consistency: Optional[dict] = None
+    method: str = ""
+    processing_time: float = 0.0
+    query_length: float = 0.0
+    reference_length: float = 0.0
+
+
+class AlignmentExtractor:
+    """AlignmentExtractor (alignment.go:17-135)."""
+
+    def __init__(
+        self,
+        feature_config: FeatureConfig,
+        alignment_config: Optional[AlignmentConfig] = None,
+        max_lag_seconds: Optional[float] = None,
+        enable_all_features: bool = False,
+    ):
+        self.config = feature_config
+        self.alignment_config = alignment_config or AlignmentConfig()
+        self.max_lag_seconds = (
+            max_lag_seconds
+            if max_lag_seconds is not None
+            else self.alignment_config.max_lag_seconds
+        )
+        self.max_lag_samples = int(self.max_lag_seconds * feature_config.sample_rate)
+        self.enable_all_features = enable_all_features
+        self._log = get_global_logger().with_component("alignment_extractor")
+
+    # ------------------------------------------------------------------
+    def _analyzer(self, method: str, max_lag_frames: int) -> AlignmentAnalyzer:
+        return AlignmentAnalyzer(
+            method=method,
+            max_lag=max_lag_frames,
+            sample_rate=self.config.sample_rate,
+            hop_size=self.config.hop_size,
+            window_size=self.config.window_size,
+            confidence_threshold=self.alignment_config.min_confidence,
+            dtw_band=self.alignment_config.dtw_band_radius,
+        )
+
+    def _align_with(
+        self, feature_type: str, query, reference, sample_rate: int, method: str
+    ) -> FeatureAlignment:
+        """alignWithFeatures (alignment.go:357-409): clamp lag frames to
+        the data, run the analyzer."""
+        q = jnp.asarray(query)
+        r = jnp.asarray(reference)
+        if q.ndim == 1:
+            q = q[:, None]
+        if r.ndim == 1:
+            r = r[:, None]
+        min_frames = min(q.shape[0], r.shape[0])
+        max_lag_frames = min(
+            self.max_lag_samples // self.config.hop_size, min_frames - 1
+        )
+        try:
+            analyzer = self._analyzer(method, max_lag_frames)
+            res = analyzer.align_features(q, r, sample_rate)
+            return FeatureAlignment(res, feature_type, True)
+        except Exception as e:  # degradation contract (alignment.go:388-396)
+            self._log.warn("alignment failed", feature_type=feature_type, error=str(e))
+            return FeatureAlignment(None, feature_type, False, str(e))
+
+    def perform_multi_feature_alignment(
+        self,
+        query: ExtractedFeatures,
+        reference: ExtractedFeatures,
+        sample_rate: int,
+    ) -> Dict[str, FeatureAlignment]:
+        """performMultiFeatureAlignment (alignment.go:299-354)."""
+        out: Dict[str, FeatureAlignment] = {}
+
+        qe = query.energy_features
+        re_ = reference.energy_features
+        if qe is not None and re_ is not None and qe.short_time_energy is not None:
+            out["corr_energy"] = self._align_with(
+                "corr_energy",
+                qe.short_time_energy,
+                re_.short_time_energy,
+                sample_rate,
+                "correlation",
+            )
+
+        if query.chroma_features is not None and reference.chroma_features is not None:
+            out["dtw_chroma"] = self._align_with(
+                "dtw_chroma",
+                query.chroma_features,
+                reference.chroma_features,
+                sample_rate,
+                "dtw",
+            )
+
+        if self.enable_all_features:
+            # the reference's commented-out feature paths (quirk #2)
+            if query.mfcc is not None and reference.mfcc is not None:
+                out["dtw_mfcc"] = self._align_with(
+                    "dtw_mfcc", query.mfcc, reference.mfcc, sample_rate, "dtw"
+                )
+            qs, rs = query.spectral_features, reference.spectral_features
+            if qs is not None and rs is not None:
+                out["dtw_centroid"] = self._align_with(
+                    "dtw_centroid",
+                    qs.spectral_centroid,
+                    rs.spectral_centroid,
+                    sample_rate,
+                    "dtw",
+                )
+        return out
+
+    @staticmethod
+    def select_best_alignment(
+        alignments: Dict[str, FeatureAlignment],
+    ) -> Optional[FeatureAlignment]:
+        """selectBestAlignment (alignment.go:412-445)."""
+        best, best_score = None, 0.0
+        for ftype, a in alignments.items():
+            if not a.success or a.result is None:
+                continue
+            w = _FEATURE_WEIGHTS.get(ftype, _FEATURE_WEIGHTS["default"])
+            score = w * (
+                0.4 * a.result.confidence
+                + 0.4 * a.result.similarity
+                + 0.2 * a.result.alignment_quality
+            )
+            if score > best_score:
+                best, best_score = a, score
+        return best
+
+    @staticmethod
+    def estimate_time_stretch(
+        best: Optional[FeatureAlignment], query_len: float, ref_len: float
+    ) -> float:
+        """estimateTimeStretch (alignment.go:448-476)."""
+        if best is None or not best.success or query_len <= 0 or ref_len <= 0:
+            return 1.0
+        length_ratio = query_len / ref_len
+        res = best.result
+        if res is not None and res.dtw_result is not None:
+            dtw = res.dtw_result
+            L = int(dtw.path_length)
+            if L > 1:
+                qi = np.asarray(dtw.path_qidx)[:L]
+                ri = np.asarray(dtw.path_ridx)[:L]
+                q_span = float(qi[-1] - qi[0] + 1)
+                r_span = float(ri[-1] - ri[0] + 1)
+                if r_span > 0:
+                    return 0.7 * (q_span / r_span) + 0.3 * length_ratio
+        return length_ratio
+
+    # ------------------------------------------------------------------
+    def extract_alignment_features(
+        self,
+        query_features: ExtractedFeatures,
+        reference_features: ExtractedFeatures,
+        query_pcm: jnp.ndarray,
+        reference_pcm: jnp.ndarray,
+        sample_rate: int,
+        analyze_consistency: bool = False,
+    ) -> AlignmentFeatures:
+        """ExtractAlignmentFeatures (alignment.go:139-219)."""
+        t0 = time.monotonic()
+        result = AlignmentFeatures(
+            query_length=query_pcm.shape[-1] / float(sample_rate),
+            reference_length=reference_pcm.shape[-1] / float(sample_rate),
+        )
+
+        alignments = self.perform_multi_feature_alignment(
+            query_features, reference_features, sample_rate
+        )
+        best = self.select_best_alignment(alignments)
+        if best is not None:
+            result.best_alignment = best
+            result.temporal_offset = best.result.offset_seconds
+            result.offset_confidence = best.result.confidence
+            result.alignment_similarity = best.result.similarity
+            result.alignment_quality = best.result.alignment_quality
+            result.method = best.feature_type
+
+        for ftype, a in alignments.items():
+            if ftype == "dtw_mfcc" and a.result is not None and a.result.dtw_result is not None:
+                result.dtw_alignment = a
+            if ftype == "corr_energy" and a.result is not None and a.result.cross_corr_result is not None:
+                result.corr_alignment = a
+            if a.success:
+                result.feature_similarity[ftype] = a.result.similarity
+
+        result.time_stretch = self.estimate_time_stretch(
+            best, result.query_length, result.reference_length
+        )
+
+        if analyze_consistency and best is not None:
+            # disabled upstream as a bottleneck (alignment.go:202-209)
+            qe = query_features.energy_features
+            re_ = reference_features.energy_features
+            if qe is not None and re_ is not None:
+                analyzer = self._analyzer(
+                    "correlation",
+                    self.max_lag_samples // self.config.hop_size,
+                )
+                result.consistency = analyzer.analyze_alignment_consistency(
+                    jnp.asarray(qe.short_time_energy)[:, None],
+                    jnp.asarray(re_.short_time_energy)[:, None],
+                    sample_rate,
+                    self.alignment_config.consistency_trials,
+                )
+
+        result.processing_time = (time.monotonic() - t0) * 1000.0
+        return result
+
+    # ------------------------------------------------------------------
+    def truncate_to_alignment_pcm(
+        self,
+        pcm1: np.ndarray,
+        pcm2: np.ndarray,
+        sample_rate: int,
+        alignment: AlignmentFeatures,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """TruncateToAlignmentPCM (alignment.go:223-297)."""
+        offset_seconds = alignment.temporal_offset
+        offset_samples = int(round(abs(offset_seconds) * sample_rate))
+
+        if offset_seconds > 0:
+            start1, start2 = 0, offset_samples
+            if start2 >= len(pcm2):
+                raise ValueError(
+                    f"offset too large: need to skip {start2} samples but "
+                    f"pcm2 only has {len(pcm2)}"
+                )
+            common = min(len(pcm1), len(pcm2) - start2)
+        elif offset_seconds < 0:
+            start1, start2 = offset_samples, 0
+            if start1 >= len(pcm1):
+                raise ValueError(
+                    f"offset too large: need to skip {start1} samples but "
+                    f"pcm1 only has {len(pcm1)}"
+                )
+            common = min(len(pcm1) - start1, len(pcm2))
+        else:
+            start1, start2 = 0, 0
+            common = min(len(pcm1), len(pcm2))
+
+        if common <= 0:
+            raise ValueError("no overlapping audio after alignment")
+
+        # 0.5 s edge padding (alignment.go:276-283)
+        pad = int(0.5 * sample_rate)
+        if common > 2 * pad:
+            start1 += pad
+            start2 += pad
+            common -= 2 * pad
+
+        return (
+            pcm1[start1 : start1 + common],
+            pcm2[start2 : start2 + common],
+        )
+
+    # ------------------------------------------------------------------
+    def align_audio_files(
+        self,
+        query_pcm: jnp.ndarray,
+        reference_pcm: jnp.ndarray,
+        sample_rate: int,
+    ) -> AlignmentFeatures:
+        """AlignAudioFiles (alignment.go:489-553): energy-series hybrid
+        alignment without full feature extraction."""
+        q = short_time_energy(
+            jnp.asarray(query_pcm, dtype=jnp.float32),
+            self.config.window_size,
+            self.config.hop_size,
+        )
+        r = short_time_energy(
+            jnp.asarray(reference_pcm, dtype=jnp.float32),
+            self.config.window_size,
+            self.config.hop_size,
+        )
+        min_frames = min(q.shape[-1], r.shape[-1])
+        max_lag_frames = min(
+            self.max_lag_samples // self.config.hop_size, min_frames - 1
+        )
+        analyzer = self._analyzer("hybrid", max_lag_frames)
+        res = analyzer.align_features(q[:, None], r[:, None], sample_rate)
+        fa = FeatureAlignment(res, "energy", True)
+        return AlignmentFeatures(
+            best_alignment=fa,
+            corr_alignment=fa if res.cross_corr_result is not None else None,
+            temporal_offset=res.offset_seconds,
+            offset_confidence=res.confidence,
+            alignment_similarity=res.similarity,
+            alignment_quality=res.alignment_quality,
+            method="energy_correlation",
+            query_length=query_pcm.shape[-1] / float(sample_rate),
+            reference_length=reference_pcm.shape[-1] / float(sample_rate),
+            feature_similarity={"energy": res.similarity},
+        )
+
+    @staticmethod
+    def get_alignment_summary(features: Optional[AlignmentFeatures]) -> dict:
+        """GetAlignmentSummary (alignment.go:556-591)."""
+        if features is None:
+            return {"status": "failed"}
+        conf = features.offset_confidence
+        desc = (
+            "excellent" if conf > 0.8
+            else "good" if conf > 0.6
+            else "fair" if conf > 0.4
+            else "poor"
+        )
+        return {
+            "status": "success",
+            "method": features.method,
+            "offset_seconds": features.temporal_offset,
+            "similarity_percent": features.alignment_similarity * 100,
+            "confidence_percent": conf * 100,
+            "quality_percent": features.alignment_quality * 100,
+            "quality_description": desc,
+            "time_stretch_factor": features.time_stretch,
+            "time_stretch_detected": abs(features.time_stretch - 1.0) > 0.05,
+        }

@@ -1,0 +1,473 @@
+"""Fingerprint comparison: similarity scoring, matching, batch search.
+
+Reference parity: fingerprint/comparison.go —
+  method map fast -> cosine(+hash 0.5/0.5), precise -> pearson(feature
+  1.0), auto -> adaptive(0.3/0.7) — hash path vestigial (:87-133);
+  per-feature similarity:
+    MFCC = cosine of per-coefficient (mean, std) stats vector; the
+    sequence/DTW variants are implemented upstream but disabled —
+    only the stats-cosine term is live (:344-401, quirk #3);
+    spectral = mean of per-series (mean, std) cosines over centroid/
+    rolloff/flux (:646-671);
+    chroma = cosine of time-averaged 12-d vectors (:673-688);
+    temporal / speech / harmonic = scalar ratios + sequence stats
+    (:690-770);
+  weighted mean with per-content weight tables (:1055-1104);
+  OverallSimilarity = FeatureSimilarity (:886-889, quirk #4);
+  confidence heuristic (:1011-1037); match classes (:1040-1052);
+  quality metrics incl. availability/coverage/temporal alignment/noise
+  (:892-1008); FindBestMatches (:197-263); BatchCompare (:1107-1151).
+
+TPU design: each fingerprint reduces to a fixed-size statistics vector;
+pairwise comparison is a handful of cosines. Corpus-scale search uses
+sonido_sonar_tpu.parallel.matcher, which packs the statistics into a
+[C, D] matrix for one batched similarity matmul.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from sonido_sonar_tpu.config.config import (
+    ComparisonConfig,
+    ContentType,
+    default_comparison_config,
+)
+from sonido_sonar_tpu.fingerprint.generator import AudioFingerprint
+from sonido_sonar_tpu.logging import get_global_logger
+
+_EPS = 1e-10
+
+
+@dataclass
+class ComparisonQualityMetrics:
+    """ComparisonQualityMetrics (comparison.go:55-66)."""
+
+    data_availability: float = 0.0
+    feature_coverage: float = 0.0
+    temporal_alignment: float = 0.0
+    noise_level: float = 0.0
+    dynamic_range_match: float = 0.5
+    spectral_coherence: float = 0.5
+
+
+@dataclass
+class SimilarityResult:
+    """SimilarityResult (comparison.go:20-53)."""
+
+    fingerprint1_id: str
+    fingerprint2_id: str
+    overall_similarity: float
+    feature_similarity: float
+    hash_similarity: float = 0.0
+    content_type_match: bool = False
+    match_type: str = "weak"
+    confidence: float = 0.0
+    feature_distances: Dict[str, float] = field(default_factory=dict)
+    quality_metrics: Optional[ComparisonQualityMetrics] = None
+    processing_time: float = 0.0
+
+
+@dataclass
+class Match:
+    """Match (comparison.go FindBestMatches result)."""
+
+    fingerprint: AudioFingerprint
+    similarity: SimilarityResult
+    rank: int
+
+
+def _to_np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float64)
+
+
+def cosine_similarity(v1: np.ndarray, v2: np.ndarray) -> float:
+    """comparison.go:858-873."""
+    if len(v1) != len(v2) or len(v1) == 0:
+        return 0.0
+    n1 = float(np.linalg.norm(v1))
+    n2 = float(np.linalg.norm(v2))
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    return float(np.dot(v1, v2) / (n1 * n2))
+
+
+def compare_scalar(v1: float, v2: float) -> float:
+    """comparison.go:843-856: 1 - |d|/max(|v1|,|v2|)."""
+    if v1 == 0 and v2 == 0:
+        return 1.0
+    max_v = max(abs(v1), abs(v2))
+    if max_v == 0:
+        return 1.0
+    return max(0.0, 1.0 - abs(v1 - v2) / max_v)
+
+
+def compare_sequence_stats(s1: np.ndarray, s2: np.ndarray) -> float:
+    """cosine of (mean, std) pairs (comparison.go:826-841). Uses gonum's
+    sample variance (N-1), reproduced here."""
+    if len(s1) == 0 or len(s2) == 0:
+        return 0.0
+    f1 = np.array([s1.mean(), np.sqrt(s1.var(ddof=1)) if len(s1) > 1 else 0.0])
+    f2 = np.array([s2.mean(), np.sqrt(s2.var(ddof=1)) if len(s2) > 1 else 0.0])
+    return cosine_similarity(f1, f2)
+
+
+def extract_mfcc_statistics(mfcc: np.ndarray) -> np.ndarray:
+    """[T, C] -> [2C] (means then stds per coefficient)
+    (comparison.go:774-800)."""
+    if mfcc.size == 0:
+        return np.zeros(0)
+    means = mfcc.mean(axis=0)
+    stds = np.sqrt(mfcc.var(axis=0, ddof=1)) if mfcc.shape[0] > 1 else np.zeros_like(means)
+    return np.concatenate([means, stds])
+
+
+# per-content comparator weights (comparison.go:1055-1104)
+_CONTENT_WEIGHTS: Dict[ContentType, Dict[str, float]] = {
+    ContentType.NEWS: {
+        "mfcc": 0.50, "spectral": 0.25, "temporal": 0.15, "speech": 0.10,
+        "chroma": 0.05, "harmonic": 0.05, "energy": 0.10,
+    },
+    ContentType.TALK: {
+        "mfcc": 0.50, "spectral": 0.25, "temporal": 0.15, "speech": 0.10,
+        "chroma": 0.05, "harmonic": 0.05, "energy": 0.10,
+    },
+    ContentType.MUSIC: {
+        "mfcc": 0.30, "chroma": 0.25, "spectral": 0.20, "harmonic": 0.15,
+        "temporal": 0.10, "speech": 0.05, "energy": 0.10,
+    },
+    ContentType.SPORTS: {
+        "energy": 0.30, "temporal": 0.25, "mfcc": 0.25, "spectral": 0.20,
+        "speech": 0.10, "chroma": 0.05, "harmonic": 0.05,
+    },
+}
+_DEFAULT_WEIGHTS = {
+    "mfcc": 0.35, "spectral": 0.25, "temporal": 0.20, "energy": 0.15,
+    "chroma": 0.10, "speech": 0.10, "harmonic": 0.10,
+}
+
+
+class FingerprintComparator:
+    """FingerprintComparator (comparison.go:69-131)."""
+
+    def __init__(self, config: Optional[ComparisonConfig] = None):
+        self.config = config or default_comparison_config()
+        method = self.config.method
+        # method map (comparison.go:87-113); hash path vestigial
+        if method == "fast":
+            self.internal_method = "cosine"
+            self.hash_weight, self.feature_weight = 0.5, 0.5
+        elif method == "precise":
+            self.internal_method = "pearson"
+            self.hash_weight, self.feature_weight = 0.0, 1.0
+        else:
+            self.internal_method = "adaptive"
+            self.hash_weight, self.feature_weight = 0.3, 0.7
+        self._log = get_global_logger().with_component("fingerprint_comparator")
+
+    def validate_config(self) -> None:
+        """comparison.go:1208-1223."""
+        if not 0.0 <= self.config.similarity_threshold <= 1.0:
+            raise ValueError("similarity_threshold must be in [0, 1]")
+        if self.config.method not in ("auto", "precise", "fast"):
+            raise ValueError(f"unknown method {self.config.method}")
+
+    # ------------------------------------------------------------------
+    def compare(self, fp1: AudioFingerprint, fp2: AudioFingerprint) -> SimilarityResult:
+        """Compare (comparison.go:133-194)."""
+        t0 = time.monotonic()
+        result = SimilarityResult(
+            fingerprint1_id=fp1.id,
+            fingerprint2_id=fp2.id,
+            overall_similarity=0.0,
+            feature_similarity=0.0,
+            content_type_match=(fp1.content_type == fp2.content_type),
+        )
+        if self.config.enable_content_filter and not result.content_type_match:
+            result.processing_time = (time.monotonic() - t0) * 1000
+            return result
+
+        result.feature_similarity = self._feature_similarity(fp1, fp2, result)
+        # OverallSimilarity = FeatureSimilarity (comparison.go:886-889)
+        result.overall_similarity = result.feature_similarity
+        if self.config.enable_detailed_metrics:
+            result.quality_metrics = self._quality_metrics(fp1, fp2, result)
+        result.confidence = self._confidence(result)
+        result.match_type = classify_match(result.overall_similarity)
+        result.processing_time = (time.monotonic() - t0) * 1000
+        return result
+
+    # ------------------------------------------------------------------
+    def _effective_weights(self, fp: AudioFingerprint) -> Dict[str, float]:
+        """getEffectiveWeights (comparison.go:1055-1104)."""
+        w = fp.metadata.get("feature_weights")
+        if isinstance(w, dict) and w:
+            return w
+        return _CONTENT_WEIGHTS.get(fp.content_type, _DEFAULT_WEIGHTS)
+
+    def _feature_similarity(
+        self, fp1: AudioFingerprint, fp2: AudioFingerprint, result: SimilarityResult
+    ) -> float:
+        """calculateFeatureSimilarity (comparison.go:266-341)."""
+        f1, f2 = fp1.features, fp2.features
+        if f1 is None or f2 is None:
+            raise ValueError("features cannot be None")
+        sims: List[float] = []
+        weights: List[float] = []
+        w = self._effective_weights(fp1)
+
+        if f1.mfcc is not None and f2.mfcc is not None:
+            sim = self._compare_mfcc(f1.mfcc, f2.mfcc)
+            sims.append(sim)
+            weights.append(w.get("mfcc", 0.0))
+            result.feature_distances["mfcc"] = 1.0 - sim
+
+        if f1.spectral_features is not None and f2.spectral_features is not None:
+            sim = self._compare_spectral(f1.spectral_features, f2.spectral_features)
+            sims.append(sim)
+            weights.append(w.get("spectral", 0.0))
+            result.feature_distances["spectral"] = 1.0 - sim
+
+        if f1.chroma_features is not None and f2.chroma_features is not None:
+            sim = self._compare_chroma(f1.chroma_features, f2.chroma_features)
+            sims.append(sim)
+            weights.append(w.get("chroma", 0.0))
+            result.feature_distances["chroma"] = 1.0 - sim
+
+        if f1.temporal_features is not None and f2.temporal_features is not None:
+            sim = self._compare_temporal(f1.temporal_features, f2.temporal_features)
+            sims.append(sim)
+            weights.append(w.get("temporal", 0.0))
+            result.feature_distances["temporal"] = 1.0 - sim
+
+        if f1.speech_features is not None and f2.speech_features is not None:
+            sim = self._compare_speech(f1.speech_features, f2.speech_features)
+            sims.append(sim)
+            weights.append(w.get("speech", 0.0))
+            result.feature_distances["speech"] = 1.0 - sim
+
+        if f1.harmonic_features is not None and f2.harmonic_features is not None:
+            sim = self._compare_harmonic(f1.harmonic_features, f2.harmonic_features)
+            sims.append(sim)
+            weights.append(w.get("harmonic", 0.0))
+            result.feature_distances["harmonic"] = 1.0 - sim
+
+        if not sims:
+            raise ValueError("no comparable features found")
+        wsum = sum(weights)
+        if wsum == 0:
+            return float(np.mean(sims))
+        return float(np.average(sims, weights=weights))
+
+    @staticmethod
+    def _compare_mfcc(m1, m2) -> float:
+        """compareMFCC stats-cosine term (comparison.go:344-401)."""
+        s1 = extract_mfcc_statistics(_to_np(m1))
+        s2 = extract_mfcc_statistics(_to_np(m2))
+        if len(s1) == 0 or len(s2) == 0 or len(s1) != len(s2):
+            return 0.0
+        return cosine_similarity(s1, s2)
+
+    @staticmethod
+    def _compare_spectral(sf1, sf2) -> float:
+        """compareSpectralFeatures (comparison.go:646-671): centroid,
+        rolloff, flux sequence-stats cosines averaged."""
+        sims = []
+        for a, b in (
+            (sf1.spectral_centroid, sf2.spectral_centroid),
+            (sf1.spectral_rolloff, sf2.spectral_rolloff),
+            (sf1.spectral_flux, sf2.spectral_flux),
+        ):
+            if a is not None and b is not None:
+                sims.append(compare_sequence_stats(_to_np(a), _to_np(b)))
+        return float(np.mean(sims)) if sims else 0.0
+
+    @staticmethod
+    def _compare_chroma(c1, c2) -> float:
+        """compareChromaFeatures (comparison.go:673-688)."""
+        m1 = _to_np(c1).mean(axis=0)
+        m2 = _to_np(c2).mean(axis=0)
+        return cosine_similarity(m1, m2)
+
+    @staticmethod
+    def _compare_temporal(t1, t2) -> float:
+        """compareTemporalFeatures (comparison.go:690-718)."""
+        sims = []
+        dr1, dr2 = float(t1.dynamic_range), float(t2.dynamic_range)
+        if dr1 > 0 and dr2 > 0:
+            sims.append(compare_scalar(dr1, dr2))
+        sims.append(compare_scalar(float(t1.silence_ratio), float(t2.silence_ratio)))
+        od1, od2 = float(t1.onset_density), float(t2.onset_density)
+        if od1 > 0 and od2 > 0:
+            sims.append(compare_scalar(od1, od2))
+        if t1.rms_energy is not None and t2.rms_energy is not None:
+            sims.append(compare_sequence_stats(_to_np(t1.rms_energy), _to_np(t2.rms_energy)))
+        return float(np.mean(sims)) if sims else 0.0
+
+    @staticmethod
+    def _compare_speech(s1, s2) -> float:
+        """compareSpeechFeatures (comparison.go:722-750)."""
+        sims = []
+        r1, r2 = float(s1.speech_rate), float(s2.speech_rate)
+        if r1 > 0 and r2 > 0:
+            sims.append(compare_scalar(r1, r2))
+        v1, v2 = float(s1.vocal_tract_length), float(s2.vocal_tract_length)
+        if v1 > 0 and v2 > 0:
+            sims.append(compare_scalar(v1, v2))
+        if s1.voicing_probability is not None and s2.voicing_probability is not None:
+            sims.append(
+                compare_sequence_stats(
+                    _to_np(s1.voicing_probability), _to_np(s2.voicing_probability)
+                )
+            )
+        return float(np.mean(sims)) if sims else 0.0
+
+    @staticmethod
+    def _compare_harmonic(h1, h2) -> float:
+        """compareHarmonicFeatures (comparison.go:752-770)."""
+        sims = []
+        if h1.harmonic_ratio is not None and h2.harmonic_ratio is not None:
+            sims.append(
+                compare_sequence_stats(_to_np(h1.harmonic_ratio), _to_np(h2.harmonic_ratio))
+            )
+        if h1.pitch_estimate is not None and h2.pitch_estimate is not None:
+            sims.append(
+                compare_sequence_stats(_to_np(h1.pitch_estimate), _to_np(h2.pitch_estimate))
+            )
+        return float(np.mean(sims)) if sims else 0.0
+
+    # ------------------------------------------------------------------
+    def _quality_metrics(
+        self, fp1: AudioFingerprint, fp2: AudioFingerprint, result: SimilarityResult
+    ) -> ComparisonQualityMetrics:
+        """calculateQualityMetrics (comparison.go:892-1008)."""
+        m = ComparisonQualityMetrics()
+        f1, f2 = fp1.features, fp2.features
+        total = 6
+        available = sum(
+            1
+            for a, b in (
+                (f1.mfcc, f2.mfcc),
+                (f1.spectral_features, f2.spectral_features),
+                (f1.chroma_features, f2.chroma_features),
+                (f1.temporal_features, f2.temporal_features),
+                (f1.speech_features, f2.speech_features),
+                (f1.harmonic_features, f2.harmonic_features),
+            )
+            if a is not None and b is not None
+        )
+        m.data_availability = available / total
+        m.feature_coverage = len(result.feature_distances) / total
+
+        dur_diff = abs(fp1.duration - fp2.duration)
+        max_dur = max(fp1.duration, fp2.duration)
+        m.temporal_alignment = 1.0 - min(1.0, dur_diff / max_dur) if max_dur > 0 else 1.0
+
+        # noise level from similarity variance (comparison.go:938-963)
+        sims = [1.0 - d for d in result.feature_distances.values()]
+        m.noise_level = (
+            min(1.0, float(np.sqrt(np.var(sims, ddof=1)))) if len(sims) > 1 else 0.0
+        )
+
+        # dynamic range match
+        if f1.temporal_features is not None and f2.temporal_features is not None:
+            dr1 = float(f1.temporal_features.dynamic_range)
+            dr2 = float(f2.temporal_features.dynamic_range)
+            m.dynamic_range_match = compare_scalar(dr1, dr2) if dr1 > 0 and dr2 > 0 else 0.5
+
+        # spectral coherence via Pearson of centroid stats (comparison.go:986-1008)
+        if f1.spectral_features is not None and f2.spectral_features is not None:
+            c1 = _to_np(f1.spectral_features.spectral_centroid)
+            c2 = _to_np(f2.spectral_features.spectral_centroid)
+            n = min(len(c1), len(c2))
+            if n > 1:
+                corr = np.corrcoef(c1[:n], c2[:n])[0, 1]
+                m.spectral_coherence = float(abs(corr)) if np.isfinite(corr) else 0.5
+        return m
+
+    def _confidence(self, result: SimilarityResult) -> float:
+        """calculateConfidence (comparison.go:1011-1037)."""
+        confidence = 0.5
+        if result.overall_similarity > 0.8:
+            confidence += 0.3
+        elif result.overall_similarity > 0.6:
+            confidence += 0.2
+        if result.content_type_match:
+            confidence += 0.1
+        confidence += len(result.feature_distances) * 0.05
+        if result.quality_metrics is not None:
+            confidence += result.quality_metrics.data_availability * 0.1
+            confidence -= result.quality_metrics.noise_level * 0.1
+        return max(0.0, min(1.0, confidence))
+
+    # ------------------------------------------------------------------
+    def find_best_matches(
+        self,
+        query: AudioFingerprint,
+        candidates: List[AudioFingerprint],
+        max_results: int = 0,
+    ) -> List[Match]:
+        """FindBestMatches (comparison.go:197-263): threshold + sort +
+        rank."""
+        max_results = max_results or self.config.max_candidates
+        results = self.batch_compare(query, candidates)
+        by_id = {c.id: c for c in candidates}
+        matches = [
+            Match(by_id[r.fingerprint2_id], r, 0)
+            for r in results
+            if r.overall_similarity >= self.config.similarity_threshold
+        ]
+        matches.sort(key=lambda m: m.similarity.overall_similarity, reverse=True)
+        matches = matches[:max_results]
+        for i, m in enumerate(matches):
+            m.rank = i + 1
+        return matches
+
+    def batch_compare(
+        self, query: AudioFingerprint, candidates: List[AudioFingerprint]
+    ) -> List[SimilarityResult]:
+        """BatchCompare (comparison.go:1107-1151): skip None/self, keep
+        going on failures."""
+        results = []
+        for cand in candidates:
+            if cand is None or cand.id == query.id:
+                continue
+            try:
+                results.append(self.compare(query, cand))
+            except Exception as e:
+                self._log.warn("comparison failed", candidate=cand.id, error=str(e))
+        return results
+
+
+def classify_match(similarity: float) -> str:
+    """classifyMatch (comparison.go:1040-1052)."""
+    if similarity >= 0.95:
+        return "exact"
+    if similarity >= 0.85:
+        return "very_similar"
+    if similarity >= 0.75:
+        return "similar"
+    if similarity >= 0.6:
+        return "somewhat_similar"
+    return "weak"
+
+
+def get_similarity_statistics(results: List[SimilarityResult]) -> Dict[str, float]:
+    """GetSimilarityStatistics (comparison.go:1154-1206)."""
+    if not results:
+        return {}
+    sims = np.array([r.overall_similarity for r in results])
+    confs = np.array([r.confidence for r in results])
+    return {
+        "mean_similarity": float(sims.mean()),
+        "max_similarity": float(sims.max()),
+        "min_similarity": float(sims.min()),
+        "std_similarity": float(sims.std()),
+        "mean_confidence": float(confs.mean()),
+        "count": float(len(results)),
+    }

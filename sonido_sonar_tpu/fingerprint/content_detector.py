@@ -1,0 +1,329 @@
+"""Content-type detection: metadata heuristics + acoustic classifier.
+
+Reference parity: fingerprint/content_detector.go —
+  DetectContentType (:31-69): metadata first (explicit type -> genre
+  keywords -> station/URL keywords, :492-626), then acoustic, then the
+  configured default;
+  acoustic features (:120-152): ZCR, spectral centroid of the first 2048
+  samples, energy variance (frame 1024 hop 512), silence ratio (RMS <
+  0.01), dynamic range 20log10(max/min |x|), low/high split at F/4,
+  harmonic peak-ratio, temporal stability (100 ms frames, 1 - cv);
+  additive scores vs threshold 2.0 (:156-221) — all constants verbatim.
+
+TPU note: the reference computes its spectrum with a naive O(N^2) DFT
+(:452-467, quirk #7); we use an rFFT of the same first-2048-sample
+window — identical output, 3 orders of magnitude cheaper.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from sonido_sonar_tpu.config.config import ContentAwareConfig, ContentType
+from sonido_sonar_tpu.io.audio import AudioData, AudioMetadata
+from sonido_sonar_tpu.logging import get_global_logger
+
+_MUSIC_GENRES = [
+    "rock", "pop", "jazz", "classical", "hip-hop", "hip hop", "country",
+    "electronic", "blues", "reggae", "folk", "metal", "punk", "r&b",
+    "soul", "funk", "dance", "techno", "house", "ambient", "indie",
+    "alternative", "grunge", "ska", "latin", "world", "gospel",
+]
+_NEWS_GENRES = [
+    "news", "talk", "politics", "current affairs", "public radio",
+    "discussion", "interview", "call-in", "spoken word", "commentary",
+    "analysis", "reporting", "journalism", "public affairs",
+]
+_SPORTS_GENRES = [
+    "sports", "football", "basketball", "baseball", "soccer", "hockey",
+    "tennis", "golf", "racing", "motorsports", "athletics", "cricket",
+    "rugby", "boxing", "mma", "sports talk", "sports news",
+]
+_NEWS_STATIONS = [
+    "news", "npr", "bbc", "cnn", "cbc", "abc news", "nbc news",
+    "fox news", "public radio", "current affairs", "talk radio",
+]
+_SPORTS_STATIONS = [
+    "sports", "espn", "fox sports", "sports radio", "the fan",
+    "sport", "athletic", "game", "stadium",
+]
+_MUSIC_STATIONS = [
+    "fm", "music", "hits", "rock", "pop", "jazz", "country",
+    "classic", "radio", "mix", "beat", "sound", "groove",
+]
+
+
+@dataclass
+class AcousticFeatures:
+    """AcousticFeatures (content_detector.go:103-118)."""
+
+    zero_crossing_rate: float = 0.0
+    spectral_centroid: float = 0.0
+    energy_variance: float = 0.0
+    silence_ratio: float = 0.0
+    harmonic_ratio: float = 0.0
+    low_freq_energy: float = 0.0
+    high_freq_energy: float = 0.0
+    dynamic_range: float = 0.0
+    temporal_stability: float = 0.0
+    classification_confidence: float = 0.0
+
+
+def infer_from_genre(genre: str) -> ContentType:
+    """content_detector.go:490-540."""
+    g = genre.lower().strip()
+    for kw in _MUSIC_GENRES:
+        if kw in g:
+            return ContentType.MUSIC
+    for kw in _NEWS_GENRES:
+        if kw in g:
+            return ContentType.NEWS
+    for kw in _SPORTS_GENRES:
+        if kw in g:
+            return ContentType.SPORTS
+    if "talk" in g and "sports" not in g:
+        return ContentType.TALK
+    return ContentType.UNKNOWN
+
+
+def infer_from_station(station: str, url: str) -> ContentType:
+    """content_detector.go:543-590."""
+    combined = f"{station.lower().strip()} {url.lower()}"
+    for kw in _NEWS_STATIONS:
+        if kw in combined:
+            return ContentType.NEWS
+    for kw in _SPORTS_STATIONS:
+        if kw in combined:
+            return ContentType.SPORTS
+    for kw in _MUSIC_STATIONS:
+        if kw in combined:
+            return ContentType.MUSIC
+    if "talk" in combined and "sports" not in combined:
+        return ContentType.TALK
+    return ContentType.UNKNOWN
+
+
+def parse_content_type(content_type: str) -> ContentType:
+    """content_detector.go:613-626."""
+    ct = content_type.lower()
+    if ct in ("music", "audio/music"):
+        return ContentType.MUSIC
+    if ct in ("news", "talk", "spoken"):
+        return ContentType.NEWS
+    if ct == "sports":
+        return ContentType.SPORTS
+    return ContentType.UNKNOWN
+
+
+def detect_from_metadata(metadata: Optional[AudioMetadata]) -> ContentType:
+    """content_detector.go:593-610."""
+    if metadata is None:
+        return ContentType.UNKNOWN
+    explicit = metadata.extra.get("content_type", "")
+    if explicit:
+        return parse_content_type(explicit)
+    if metadata.genre:
+        return infer_from_genre(metadata.genre)
+    return infer_from_station(metadata.station, metadata.url)
+
+
+class ContentDetector:
+    """ContentDetector (content_detector.go:19-118)."""
+
+    def __init__(self, config: Optional[ContentAwareConfig] = None):
+        self.config = config or ContentAwareConfig()
+        self._log = get_global_logger().with_component("content_detector")
+
+    def detect_content_type(self, audio: AudioData) -> ContentType:
+        """DetectContentType (content_detector.go:31-69)."""
+        meta_type = detect_from_metadata(audio.metadata)
+        if meta_type != ContentType.UNKNOWN:
+            return meta_type
+        if self.config.enable_content_detection and len(audio.pcm) > 0:
+            acoustic = self.detect_from_audio(audio.pcm, audio.sample_rate)
+            if acoustic != ContentType.UNKNOWN:
+                return acoustic
+        return self.config.default_content_type
+
+    def detect_from_audio(self, pcm: np.ndarray, sample_rate: int) -> ContentType:
+        """DetectFromAudio (content_detector.go:72-103)."""
+        if len(pcm) == 0:
+            return ContentType.UNKNOWN
+        features = self.extract_acoustic_features(pcm, sample_rate)
+        return self.classify_from_features(features)
+
+    # ------------------------------------------------------------------
+    def extract_acoustic_features(
+        self, pcm: np.ndarray, sample_rate: int
+    ) -> AcousticFeatures:
+        """extractAcousticFeatures (content_detector.go:120-152). Uses
+        numpy on host — the inputs are tiny (first 2048 samples for the
+        spectrum, frame loops over the PCM)."""
+        x = np.asarray(pcm, dtype=np.float64)
+        f = AcousticFeatures()
+
+        # ZCR over the whole signal (:225-237)
+        if len(x) > 1:
+            nonneg = x >= 0
+            f.zero_crossing_rate = float(
+                np.mean(nonneg[1:] != nonneg[:-1])
+            )
+
+        # spectrum of the first 2048 samples — rFFT instead of the O(N^2)
+        # DFT (quirk #7); |rfft| equals the reference's magnitude output
+        w = min(2048, len(x))
+        spectrum = np.abs(np.fft.rfft(x[:w]))
+
+        # spectral centroid with freq = i * sr / (len(spectrum) * 2)
+        # (:240-255 — note the reference's own resolution convention)
+        freqs = np.arange(len(spectrum)) * sample_rate / (len(spectrum) * 2.0)
+        mag_sum = spectrum.sum()
+        f.spectral_centroid = float(
+            (freqs * spectrum).sum() / mag_sum if mag_sum > 0 else 0.0
+        )
+
+        f.energy_variance = self._energy_variance(x)
+        f.silence_ratio = self._silence_ratio(x)
+        f.dynamic_range = self._dynamic_range(x)
+        f.low_freq_energy, f.high_freq_energy = self._freq_energy_ratio(spectrum)
+        f.harmonic_ratio = self._harmonic_ratio(spectrum)
+        f.temporal_stability = self._temporal_stability(x, sample_rate)
+        return f
+
+    @staticmethod
+    def _energy_variance(x: np.ndarray) -> float:
+        """frame 1024 hop 512 mean-square energies -> population variance
+        (:258-293)."""
+        frame = 1024
+        if len(x) < frame * 2:
+            return 0.0
+        energies = []
+        for i in range(0, len(x) - frame, frame // 2):
+            seg = x[i : i + frame]
+            energies.append(float((seg * seg).sum()) / frame)
+        if len(energies) <= 1:
+            return 0.0
+        return float(np.var(energies))
+
+    @staticmethod
+    def _silence_ratio(x: np.ndarray) -> float:
+        """RMS < 0.01 per 1024 frame (:296-320)."""
+        frame = 1024
+        silent = total = 0
+        for i in range(0, len(x) - frame + 1, frame):
+            seg = x[i : i + frame]
+            rms = np.sqrt(float((seg * seg).mean()))
+            total += 1
+            if rms < 0.01:
+                silent += 1
+        return silent / total if total else 0.0
+
+    @staticmethod
+    def _dynamic_range(x: np.ndarray) -> float:
+        """20log10(max|x| / min nonzero |x|) (:322-345)."""
+        a = np.abs(x)
+        max_v = a.max() if len(a) else 0.0
+        nz = a[a > 1e-10]
+        if len(nz) == 0 or max_v == 0:
+            return 0.0
+        return float(20.0 * np.log10(max_v / nz.min()))
+
+    @staticmethod
+    def _freq_energy_ratio(spectrum: np.ndarray):
+        """low/high split at len/4 (:348-371)."""
+        split = len(spectrum) // 4
+        low = float((spectrum[:split] ** 2).sum())
+        high = float((spectrum[split:] ** 2).sum())
+        total = low + high
+        if total == 0:
+            return 0.0, 0.0
+        return low / total, high / total
+
+    @staticmethod
+    def _harmonic_ratio(spectrum: np.ndarray) -> float:
+        """peak-ratio harmonicity (:374-407)."""
+        if len(spectrum) < 10:
+            return 0.0
+        s = spectrum
+        peaks = [
+            i
+            for i in range(2, len(s) - 2)
+            if s[i] > s[i - 1] and s[i] > s[i + 1] and s[i] > s[i - 2] and s[i] > s[i + 2]
+        ]
+        if len(peaks) < 2:
+            return 0.0
+        fundamental = peaks[0]
+        harmonic = sum(
+            1
+            for p in peaks[1:]
+            if abs(p / fundamental - round(p / fundamental)) < 0.1
+        )
+        return harmonic / (len(peaks) - 1)
+
+    @staticmethod
+    def _temporal_stability(x: np.ndarray, sample_rate: int) -> float:
+        """100 ms frame energies -> 1 - cv (:410-450)."""
+        frame = sample_rate // 10
+        if len(x) < frame * 3:
+            return 0.0
+        energies = []
+        for i in range(0, len(x) - frame, frame):
+            seg = x[i : i + frame]
+            energies.append(float((seg * seg).sum()))
+        if len(energies) <= 1:
+            return 0.0
+        mean = float(np.mean(energies))
+        if mean == 0:
+            return 0.0
+        cv = float(np.std(energies)) / mean
+        return max(0.0, 1.0 - cv)
+
+    # ------------------------------------------------------------------
+    def classify_from_features(self, f: AcousticFeatures) -> ContentType:
+        """classifyFromFeatures (content_detector.go:156-221), constants
+        verbatim."""
+        scores = {}
+        music = 0.0
+        if f.zero_crossing_rate < 0.1:
+            music += 2.0
+        if f.harmonic_ratio > 0.3:
+            music += 2.0
+        if f.temporal_stability > 0.5:
+            music += 1.0
+        if f.dynamic_range > 20:
+            music += 1.0
+        scores[ContentType.MUSIC] = music
+
+        speech = 0.0
+        if 0.05 < f.zero_crossing_rate < 0.3:
+            speech += 2.0
+        if 800 < f.spectral_centroid < 3000:
+            speech += 2.0
+        if f.harmonic_ratio < 0.2:
+            speech += 1.0
+        if 0.1 < f.silence_ratio < 0.4:
+            speech += 1.0
+        scores[ContentType.NEWS] = speech
+        scores[ContentType.TALK] = speech * 0.9
+
+        sports = 0.0
+        if f.energy_variance > 0.3:
+            sports += 2.0
+        if f.dynamic_range > 30:
+            sports += 1.5
+        if f.temporal_stability < 0.4:
+            sports += 1.0
+        scores[ContentType.SPORTS] = sports
+
+        best_type = ContentType.UNKNOWN
+        best_score = self.config.auto_detect_threshold
+        for ct, score in scores.items():
+            if score > best_score:
+                best_score = score
+                best_type = ct
+        f.classification_confidence = best_score / 6.0
+        return best_type

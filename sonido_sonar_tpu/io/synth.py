@@ -62,19 +62,35 @@ def white_noise(
 def speech_like(
     duration: float, sample_rate: int = 44100, f0: float = 120.0, seed: int = 0
 ) -> np.ndarray:
-    """Crude voiced-speech proxy: pulse train through formant-ish
-    resonances + noise bursts. Enough structure for pitch/formant tests."""
+    """Voiced-speech proxy: a glottal pulse train (slightly jittered)
+    driven through two formant resonators (700 Hz, 1800 Hz) plus a touch
+    of aspiration noise. Rich in harmonics around the formants, so it
+    survives pre-emphasis and exercises pitch/formant/voice-quality
+    paths realistically."""
     rng = np.random.default_rng(seed)
     n = int(duration * sample_rate)
+    # jittered impulse train at f0
+    src = np.zeros(n)
+    pos = 0.0
+    while pos < n:
+        src[int(pos)] = 1.0
+        period = sample_rate / (f0 * (1.0 + 0.005 * rng.standard_normal()))
+        pos += period
+    src += 0.01 * rng.standard_normal(n)  # aspiration noise
+
+    def resonate(x, f, r=0.97):
+        w = 2 * np.pi * f / sample_rate
+        a1, a2 = -2 * r * np.cos(w), r * r
+        y = np.zeros_like(x)
+        for t in range(2, len(x)):
+            y[t] = x[t] - a1 * y[t - 1] - a2 * y[t - 2]
+        return y
+
+    x = resonate(resonate(src, 700.0), 1800.0, r=0.95)
+    # slow amplitude modulation (syllable-ish) with pauses
     t = np.arange(n, dtype=np.float64) / sample_rate
-    # glottal-ish pulse train with slight jitter
-    jitter = 1.0 + 0.01 * np.sin(2 * np.pi * 3.0 * t)
-    source = np.sin(2 * np.pi * f0 * jitter * t)
-    source += 0.3 * np.sin(2 * np.pi * 2 * f0 * jitter * t)
-    source += 0.15 * np.sin(2 * np.pi * 3 * f0 * jitter * t)
-    # formant emphasis via modulation
-    envelope = 1.0 + 0.5 * np.sin(2 * np.pi * 700.0 * t) * np.exp(-((t % 0.2) * 30))
-    x = source * envelope + 0.02 * rng.standard_normal(n)
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * 2.5 * t)
+    x = x * env
     x /= np.max(np.abs(x)) + 1e-12
     return (0.5 * x).astype(np.float32)
 

@@ -11,11 +11,16 @@ Reference parity: algorithms/stats/alignment.go —
   path stability/smoothness/cost-consistency/diagonal-bias (:420-601);
   consistency via deterministic sin-noise trials (:710-749).
 
-Offset-unit note (SURVEY.md quirk #5): the reference divides the DTW
-*frame* offset by sampleRate but multiplies the xcorr frame lag by
-hopSize first — inconsistent units. Here BOTH paths report
-`offset` in samples (frame offset * hop_size), anchored to the live
-xcorr path's semantics, and `offset_seconds = offset / sample_rate`.
+Offset-unit/sign note (SURVEY.md quirk #5): the reference divides the
+DTW *frame* offset by sampleRate but multiplies the xcorr frame lag by
+hopSize first — inconsistent units — and its xcorr lag sign (peak at -D
+when the reference stream is delayed by D) is inverted relative to its
+own TruncateToAlignmentPCM branches. Here BOTH paths report `offset` in
+samples with one convention: POSITIVE offset = reference stream delayed
+by that amount (the CDN latency). xcorr: offset = -peak_lag * hop.
+DTW: offset = mean(ref_idx - query_idx) * hop (positive when reference
+is delayed). TruncateToAlignmentPCM's branch logic is then correct as
+written in the reference.
 
 TPU notes: feature series are short (T = seconds * sr / hop), so the
 whole analyzer jits per-method; the hybrid's accept-or-refine decision
@@ -148,7 +153,8 @@ class AlignmentAnalyzer:
         similarity = min(1.0, max(0.0, abs(peak_corr)))
         confidence = correlation_confidence(corr)
         quality = correlation_quality(corr, self.max_lag)
-        offset = peak_lag * self.hop_size
+        # positive = reference delayed (see module docstring sign note)
+        offset = -peak_lag * self.hop_size
         return AlignmentResult(
             method="correlation",
             offset=offset,

@@ -1,0 +1,61 @@
+"""Mesh + sharding helpers.
+
+One logical axis ("data") is enough for this workload: fingerprinting is
+data-parallel over streams/chunks, and comparison reduces fixed-size
+statistics vectors. The helpers still accept 2-D meshes (data x model)
+so corpus sharding can ride a second axis when catalogs outgrow one
+chip's HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+    devices=None,
+) -> Mesh:
+    """Create a mesh over all (or the given) devices.
+
+    Default: 1-D mesh over every addressable device. shape=(d, m) with
+    axis_names=("data", "model") builds a 2-D mesh.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devs),) if len(axis_names) == 1 else None
+    if shape is None:
+        raise ValueError("shape required for multi-axis meshes")
+    arr = np.array(devs).reshape(shape)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "data"):
+    """Place a [B, ...] array with B sharded over the mesh. B must be a
+    multiple of the mesh axis size (pad upstream with a validity mask)."""
+    return jax.device_put(x, data_sharding(mesh, axis))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
+    """Pad axis 0 to a device-count multiple; returns (padded, n_valid)."""
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return np.pad(x, pad), n

@@ -1,0 +1,171 @@
+"""Batched sharded fingerprint pipeline — the framework's flagship
+compute program.
+
+One jitted SPMD program maps [B, N] PCM (batch sharded over the mesh)
+to the full jit-friendly feature set: STFT -> MFCC + chroma + spectral
+descriptors + temporal/energy series + pitch track. This subsumes the
+reference's two goroutine pools (frame- and batch-level, SURVEY.md
+section 2.17) with zero steady-state communication: XLA partitions
+everything along the batch axis.
+
+The host-orchestrated per-stream API (FingerprintGenerator) uses the
+same ops; this module is the throughput path for corpus-scale work and
+the benchmark target (BASELINE.md: >= 1000 audio-hours/wall-hour).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sonido_sonar_tpu.config.config import FeatureConfig, WindowType
+from sonido_sonar_tpu.ops import spectral as S
+from sonido_sonar_tpu.ops import temporal as T
+from sonido_sonar_tpu.ops.chroma import chroma_from_magnitude
+from sonido_sonar_tpu.ops.filters import pre_emphasis
+from sonido_sonar_tpu.ops.framing import frame_signal
+from sonido_sonar_tpu.ops.mfcc import MFCCParams, mfcc
+from sonido_sonar_tpu.ops.pitch import PitchParams, yin_pitch
+from sonido_sonar_tpu.ops.stft import spectral_flux, stft
+
+_EPS = 1e-10
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sample_rate", "window_size", "hop_size", "window_type",
+        "mfcc_coefficients", "enable_chroma", "enable_contrast",
+        "enable_pitch", "pre_emphasis_coeff",
+    ),
+)
+def batched_fingerprint_features(
+    pcm: jnp.ndarray,
+    sample_rate: int = 44100,
+    window_size: int = 1024,
+    hop_size: int = 256,
+    window_type: WindowType = WindowType.HANN,
+    mfcc_coefficients: int = 13,
+    enable_chroma: bool = True,
+    enable_contrast: bool = True,
+    enable_pitch: bool = True,
+    pre_emphasis_coeff: float = 0.97,
+) -> Dict[str, jnp.ndarray]:
+    """[B, N] PCM -> dict of [B, ...] feature tensors, one fused program.
+
+    Covers the fingerprint payload the comparator consumes: MFCC, chroma,
+    spectral series (centroid/rolloff/bandwidth/flatness/crest/slope/
+    flux/zcr/contrast), energy series + stats, pitch/voicing.
+    """
+    x = pre_emphasis(pcm.astype(jnp.float32), pre_emphasis_coeff)
+    spec = stft(x, window_size, hop_size, window_type, sample_rate)
+    mag = spec.magnitude
+
+    out: Dict[str, jnp.ndarray] = {}
+    out["mfcc"] = mfcc(
+        mag, sample_rate, window_size, MFCCParams(num_coefficients=mfcc_coefficients)
+    )
+    if enable_chroma:
+        out["chroma"] = chroma_from_magnitude(mag, sample_rate, window_size)
+
+    centroid = S.spectral_centroid(mag, sample_rate)
+    out["spectral_centroid"] = centroid
+    out["spectral_rolloff"] = S.spectral_rolloff(mag, sample_rate, 0.85)
+    out["spectral_bandwidth"] = S.spectral_bandwidth(mag, sample_rate, centroid)
+    out["spectral_flatness"] = S.spectral_flatness(mag)
+    out["spectral_crest"] = S.spectral_crest(mag)
+    out["spectral_slope"] = S.spectral_slope(mag, sample_rate)
+    out["spectral_flux"] = spectral_flux(mag)
+    if enable_contrast:
+        out["spectral_contrast"] = S.spectral_contrast(mag, sample_rate, 6)
+
+    frames = frame_signal(x, window_size, hop_size)
+    out["zcr"] = S.zcr(frames, sample_rate)
+
+    rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+    out["rms_energy"] = rms
+    out["energy_entropy"] = jnp.where(rms > 0, -rms * jnp.log(rms + 1e-10), 0.0)
+    out["energy_variance"] = T.energy_variance(rms)
+
+    power = mag * mag
+    split = mag.shape[-1] // 4
+    total = jnp.sum(power, axis=-1)
+    out["low_energy_ratio"] = jnp.where(
+        total > 0, jnp.sum(power[..., :split], axis=-1) / jnp.maximum(total, _EPS), 0.0
+    )
+    out["high_energy_ratio"] = jnp.where(
+        total > 0, jnp.sum(power[..., split:], axis=-1) / jnp.maximum(total, _EPS), 0.0
+    )
+
+    if enable_pitch:
+        pitch_frames = frame_signal(x, 1024, 512)
+        pitch, conf, voicing = yin_pitch(
+            pitch_frames, PitchParams(sample_rate=sample_rate, window_size=1024)
+        )
+        out["pitch"] = pitch
+        out["pitch_confidence"] = conf
+        out["voicing"] = voicing
+
+    return out
+
+
+@dataclass
+class BatchedFingerprintPipeline:
+    """Mesh-sharded fingerprint pipeline.
+
+    Usage:
+        pipe = BatchedFingerprintPipeline(mesh, config)
+        feats = pipe(pcm_batch)   # [B, N] numpy/jnp, B % n_devices == 0
+    """
+
+    mesh: Mesh
+    config: FeatureConfig
+    axis: str = "data"
+
+    def __call__(self, pcm_batch) -> Dict[str, jnp.ndarray]:
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        pcm = jax.device_put(jnp.asarray(pcm_batch, dtype=jnp.float32), sharding)
+        cfg = self.config
+        return batched_fingerprint_features(
+            pcm,
+            sample_rate=cfg.sample_rate,
+            window_size=cfg.window_size,
+            hop_size=cfg.hop_size,
+            window_type=cfg.window_type,
+            mfcc_coefficients=cfg.mfcc_coefficients,
+            enable_chroma=cfg.enable_chroma,
+            enable_contrast=cfg.enable_spectral_contrast,
+        )
+
+
+@partial(jax.jit, static_argnames=("max_lag",))
+def batched_pair_alignment(
+    query_energy: jnp.ndarray,
+    reference_energy: jnp.ndarray,
+    max_lag: int,
+) -> Dict[str, jnp.ndarray]:
+    """Batched source/CDN alignment over energy series [B, T].
+
+    Returns per-pair peak lag (frames; positive = reference delayed),
+    peak correlation, and SNR — the BASELINE config-5 workload, batch
+    sharded like everything else.
+    """
+    from sonido_sonar_tpu.ops.stats.alignment import _ncc_arrays
+    from sonido_sonar_tpu.ops.stats.correlation import _peak_metrics
+
+    t1 = query_energy.shape[-1]
+    t2 = reference_energy.shape[-1]
+
+    def one(q, r):
+        corr = _ncc_arrays(q, r, max_lag, t1, t2)
+        (peak_corr, peak_lag, *_rest) = _peak_metrics(corr, max_lag, t1, t2)
+        snr = _rest[2]
+        return -peak_lag, peak_corr, snr  # positive = reference delayed
+
+    lags, corrs, snrs = jax.vmap(one)(query_energy, reference_energy)
+    return {"lag_frames": lags, "peak_correlation": corrs, "snr": snrs}

@@ -1,0 +1,127 @@
+"""Sharding/mesh tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonido_sonar_tpu.config.config import FeatureConfig
+from sonido_sonar_tpu.io.synth import shift_signal, white_noise
+from sonido_sonar_tpu.parallel.matcher import (
+    fingerprint_matrix,
+    pack_statistics,
+    sharded_top_k_matches,
+)
+from sonido_sonar_tpu.parallel.mesh import data_sharding, make_mesh, pad_to_multiple
+from sonido_sonar_tpu.parallel.pipeline import (
+    BatchedFingerprintPipeline,
+    batched_fingerprint_features,
+    batched_pair_alignment,
+)
+
+SR = 8000
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert int(np.prod(list(mesh.shape.values()))) == 8
+
+
+def test_batched_features_match_single():
+    """Sharded batch result == per-sample result."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    pcm = rng.standard_normal((8, SR)).astype(np.float32) * 0.1
+    cfg = FeatureConfig(sample_rate=SR, window_size=512, hop_size=128)
+    pipe = BatchedFingerprintPipeline(mesh, cfg)
+    feats = pipe(pcm)
+    single = batched_fingerprint_features(
+        jnp.asarray(pcm[3:4]), sample_rate=SR, window_size=512, hop_size=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats["mfcc"][3]), np.asarray(single["mfcc"][0]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats["spectral_centroid"][3]),
+        np.asarray(single["spectral_centroid"][0]),
+        rtol=1e-5,
+    )
+
+
+def test_batched_pair_alignment_lags():
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((8, 500)).astype(np.float32)
+    lags = [0, 2, 5, -3, 7, 1, 4, -6]
+    shifted = np.stack([np.roll(base[i], lags[i]) for i in range(8)])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    q = jax.device_put(jnp.asarray(base), data_sharding(mesh))
+    r = jax.device_put(jnp.asarray(shifted), data_sharding(mesh))
+    res = batched_pair_alignment(q, r, max_lag=16)
+    got = np.asarray(res["lag_frames"])
+    np.testing.assert_array_equal(got, lags)
+    assert (np.asarray(res["peak_correlation"]) > 0.9).all()
+
+
+def test_sharded_top_k():
+    mesh = make_mesh()
+    rng = np.random.default_rng(2)
+    corpus = rng.standard_normal((21, 44)).astype(np.float32)  # non-multiple of 8
+    query = corpus[7] + 0.01 * rng.standard_normal(44).astype(np.float32)
+    idx, scores = sharded_top_k_matches(query, corpus, k=5, mesh=mesh)
+    assert idx[0] == 7
+    assert scores[0] > scores[1]
+    assert len(idx) == 5
+
+
+def test_top_k_no_mesh():
+    rng = np.random.default_rng(3)
+    corpus = rng.standard_normal((10, 44)).astype(np.float32)
+    idx, scores = sharded_top_k_matches(corpus[2], corpus, k=3, mesh=None)
+    assert idx[0] == 2
+
+
+def test_pad_to_multiple():
+    x = np.ones((5, 3))
+    padded, n = pad_to_multiple(x, 4)
+    assert padded.shape == (8, 3)
+    assert n == 5
+
+
+def test_pack_statistics_roundtrip():
+    """Packed vectors: identical fingerprints -> identical vectors."""
+    from sonido_sonar_tpu.config.config import FingerprintConfig
+    from sonido_sonar_tpu.fingerprint import FingerprintGenerator
+    from sonido_sonar_tpu.io.audio import AudioData, AudioMetadata
+    from sonido_sonar_tpu.io.synth import speech_like
+
+    clip = speech_like(2.0, SR)
+    gen = FingerprintGenerator(
+        FingerprintConfig(feature_config=FeatureConfig(sample_rate=SR))
+    )
+    fp1 = gen.generate_fingerprint(
+        AudioData(clip, SR, metadata=AudioMetadata(genre="talk"))
+    )
+    fp2 = gen.generate_fingerprint(
+        AudioData(clip, SR, metadata=AudioMetadata(genre="talk"))
+    )
+    v1, v2 = pack_statistics(fp1), pack_statistics(fp2)
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+    mat = fingerprint_matrix([fp1, fp2])
+    assert mat.shape[0] == 2
+
+
+def test_graft_entry_contract():
+    """The driver contract: entry() compiles; dryrun_multichip(8) runs."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out["mfcc"])
+    assert out["mfcc"].shape[0] == 2
+
+    g.dryrun_multichip(8)

@@ -262,6 +262,29 @@ class Decoder:
             return self._decode_wav_bytes(f.read(), url=path)
 
     def _decode_wav_bytes(self, data: bytes, url: str = "") -> AudioData:
+        # prefer the native C++ loader (io.native.wavio) when built;
+        # falls through to the stdlib path otherwise
+        try:
+            from sonido_sonar_tpu.io import native
+
+            if native.available():
+                x, sr, ch = native.decode_wav_bytes(data)
+                if sr != self.config.target_sample_rate:
+                    x = native.resample_linear(x, sr, self.config.target_sample_rate)
+                    sr = self.config.target_sample_rate
+                if self.config.max_duration > 0:
+                    x = x[: int(self.config.max_duration * sr)]
+                return AudioData(
+                    pcm=x,
+                    sample_rate=sr,
+                    channels=1,
+                    metadata=AudioMetadata(
+                        url=url, format_name="wav", sample_rate=sr, channels=ch
+                    ),
+                )
+        except Exception:
+            pass  # graceful degradation to the pure-Python path
+
         with wave.open(_io.BytesIO(data), "rb") as w:
             sr = w.getframerate()
             ch = w.getnchannels()

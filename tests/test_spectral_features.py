@@ -104,3 +104,35 @@ def test_zcr_normalized_range():
     zn = np.asarray(zcr_normalized(frames))
     assert (zn >= 0).all() and (zn <= 1).all()
     assert zn.mean() == pytest.approx(0.5, abs=0.1)  # white noise ~ 0.5
+
+
+def test_vad_and_segments():
+    """ZCR-based VAD: speech-band frames pass, silence/noise fail."""
+    from sonido_sonar_tpu.io.synth import speech_like
+    from sonido_sonar_tpu.ops.spectral import (
+        classify_frame_type,
+        detect_speech_segments,
+        detect_voice_activity,
+        zcr_with_threshold,
+    )
+
+    speech = speech_like(1.0, SR)
+    silence = np.zeros(SR, np.float32)
+    sig = np.concatenate([silence, speech, silence])
+    frames = frame_signal(jnp.asarray(sig), 1024, 512)
+    vad = np.asarray(detect_voice_activity(frames))
+    t = len(vad)
+    assert vad[: t // 4].mean() < 0.1        # leading silence
+    assert vad[t // 3 : t // 2].mean() > 0.5  # speech region
+
+    starts, ends = detect_speech_segments(
+        jnp.asarray(sig), 1024, 512, min_segment_samples=SR // 10
+    )
+    assert len(starts) >= 1
+    assert abs(int(starts[0]) - SR) < 3 * 512  # segment begins ~ at 1s
+
+    cls = np.asarray(classify_frame_type(frames))
+    assert (cls[: t // 4] == 0).mean() > 0.9  # silence class
+
+    z = np.asarray(zcr_with_threshold(frames, SR, 0.01))
+    assert (z >= 0).all()

@@ -175,8 +175,22 @@ class AlignmentAnalyzer:
     ) -> AlignmentResult:
         """alignWithDTW (alignment.go:133-149). Offset = mean path
         displacement in frames, converted to samples via hop_size (see
-        offset-unit note in the module docstring)."""
-        dtw = dtw_align(query, reference, constraint_band=self.dtw_band)
+        offset-unit note in the module docstring).
+
+        Long banded alignments route to the O(T*band) banded fill so the
+        dense cost matrix (O(T^2)) never materializes."""
+        n, m = int(query.shape[0]), int(reference.shape[0])
+        use_banded = (
+            self.dtw_band > 0
+            and n * m > 4_000_000
+            and abs(n - m) <= self.dtw_band
+        )
+        if use_banded:
+            from sonido_sonar_tpu.ops.stats.dtw import dtw_align_banded
+
+            dtw = dtw_align_banded(query, reference, self.dtw_band)
+        else:
+            dtw = dtw_align(query, reference, constraint_band=self.dtw_band)
         L = int(dtw.path_length)
         qi = np.asarray(dtw.path_qidx)[:L]
         ri = np.asarray(dtw.path_ridx)[:L]

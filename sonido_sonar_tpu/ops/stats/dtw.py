@@ -311,3 +311,159 @@ def optimize_step_pattern(query: jnp.ndarray, reference: jnp.ndarray) -> str:
         if d < best_d:
             best, best_d = pattern, d
     return best
+
+
+# ---------------------------------------------------------------------
+# Banded DTW with O(T * band) memory — the long-sequence path
+# ---------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("band", "n", "m"))
+def _fill_banded(query: jnp.ndarray, reference: jnp.ndarray, band: int,
+                 n: int, m: int):
+    """Sakoe-Chiba-banded fill storing only the band window per row.
+
+    Returns cost_band [(n+1), W] with W = 2*band+1, where
+    cost_band[i, k] = cost[i, i - band + k] (out-of-range -> big).
+    Local distances are computed on the fly from a dynamic slice of the
+    reference — the full [N, M] matrices never exist. Memory is
+    O(n * band) instead of O(n * m): a 60 s / hop-256 alignment fits in
+    ~4 MB instead of ~430 MB.
+    """
+    w = 2 * band + 1
+    big = jnp.float32(3.4e38) / 4
+    d_feat = query.shape[-1]
+
+    # pad reference rows so dynamic_slice windows never clip:
+    # ref_pad[t] = reference[t - (band+1)] for valid t
+    pad_lo = band + 1
+    pad_hi = band + 1
+    ref_pad = jnp.pad(reference, ((pad_lo, pad_hi), (0, 0)))
+    ref_sq = jnp.sum(ref_pad * ref_pad, axis=-1)
+
+    # row 0: cost[0, j]: j=0 -> 0 else big. Window of row 0 = [-band, band]
+    k_idx = jnp.arange(w)
+    row0 = jnp.where(k_idx == band, 0.0, big)  # j = 0 - band + k == 0 at k=band
+
+    def row_step(prev_band, i):
+        # window columns for row i: j = i - band + k, k = 0..w-1
+        j_cols = i - band + k_idx
+        valid = (j_cols >= 1) & (j_cols <= m)
+
+        # local distances l[k] = ||q[i-1] - r[j-1]|| for the window
+        q_i = query[i - 1]
+        q_sq = jnp.sum(q_i * q_i)
+        # r rows j-1 for j in window -> ref_pad index (j-1) + pad_lo
+        start = i - band - 1 + pad_lo
+        r_win = jax.lax.dynamic_slice(ref_pad, (start, 0), (w, d_feat))
+        r_win_sq = jax.lax.dynamic_slice(ref_sq, (start,), (w,))
+        cross = jnp.matmul(r_win, q_i, preferred_element_type=jnp.float32)
+        l = jnp.sqrt(jnp.maximum(q_sq + r_win_sq - 2.0 * cross, 0.0))
+        l = jnp.where(valid, l, big)
+
+        # prev row window is [i-1-band, i-1+band]; current j maps to
+        # prev k' = k + 1 (same j) and k (j-1):
+        up = jnp.concatenate([prev_band[1:], jnp.full((1,), big)])   # cost[i-1, j]
+        diag = prev_band                                              # cost[i-1, j-1]
+        v = jnp.minimum(up, diag)
+        a = jnp.minimum(l + v, big)
+        c = jnp.minimum(l, big)
+        d = jnp.minimum(_minplus_row_scan(a, c), big)
+        d = jnp.where(valid, d, big)
+        return d, d
+
+    _, rows = jax.lax.scan(row_step, row0, jnp.arange(1, n + 1))
+    cost_band = jnp.concatenate([row0[None, :], rows], axis=0)
+    return cost_band
+
+
+@partial(jax.jit, static_argnames=("band", "n", "m"))
+def _backtrack_banded(cost_band: jnp.ndarray, band: int, n: int, m: int):
+    """Backtrack on the banded cost storage (same preference order as
+    the dense path: vertical, horizontal, diagonal on strict less)."""
+    w = 2 * band + 1
+    big = jnp.float32(3.4e38) / 8
+    max_len = n + m
+
+    def get(i, j):
+        k = j - i + band
+        ok = (i >= 0) & (j >= 0) & (k >= 0) & (k < w)
+        val = cost_band[jnp.clip(i, 0, n), jnp.clip(k, 0, w - 1)]
+        return jnp.where(ok, val, jnp.inf)
+
+    def cond(state):
+        i, j, *_ = state
+        return (i > 0) | (j > 0)
+
+    def body(state):
+        i, j, k, qs, rs, cs = state
+        local = jnp.where(
+            (i > 0) & (j > 0), get(i, j) - get(i - 1, j - 1), 0.0
+        )
+        qs = qs.at[k].set(i - 1)
+        rs = rs.at[k].set(j - 1)
+        cs = cs.at[k].set(local)
+        up = jnp.where(i > 0, get(i - 1, j), jnp.inf)
+        left = jnp.where(j > 0, get(i, j - 1), jnp.inf)
+        diag = jnp.where((i > 0) & (j > 0), get(i - 1, j - 1), jnp.inf)
+        pick_left = left < up
+        pick_diag = (diag < up) & (diag < left)
+        ni = jnp.where(pick_diag, i - 1, jnp.where(pick_left, i, i - 1))
+        nj = jnp.where(pick_diag, j - 1, jnp.where(pick_left, j - 1, j))
+        ni = jnp.where(i == 0, 0, jnp.where(j == 0, i - 1, ni))
+        nj = jnp.where(i == 0, j - 1, jnp.where(j == 0, 0, nj))
+        return ni, nj, k + 1, qs, rs, cs
+
+    init = (
+        jnp.int32(n), jnp.int32(m), jnp.int32(0),
+        jnp.zeros(max_len, jnp.int32),
+        jnp.zeros(max_len, jnp.int32),
+        jnp.zeros(max_len, jnp.float32),
+    )
+    _, _, length, qs, rs, cs = jax.lax.while_loop(cond, body, init)
+    idx = jnp.arange(max_len)
+    src = jnp.clip(length - 1 - idx, 0, max_len - 1)
+    valid = idx < length
+    qs_f = jnp.where(valid, qs[src], qs[jnp.clip(length - 1, 0, max_len - 1)])
+    rs_f = jnp.where(valid, rs[src], rs[jnp.clip(length - 1, 0, max_len - 1)])
+    cs_f = jnp.where(valid, cs[src], 0.0)
+    return qs_f, rs_f, cs_f, length
+
+
+def dtw_align_banded(
+    query: jnp.ndarray,
+    reference: jnp.ndarray,
+    constraint_band: int,
+) -> DTWResult:
+    """Banded symmetric2 DTW with O(T * band) memory. Semantically
+    identical to `dtw_align(..., constraint_band=R)` (euclidean local
+    distance); use for long sequences where the dense cost matrix would
+    not fit. Requires |N - M| <= band for a finite path."""
+    if query.ndim == 1:
+        query = query[:, None]
+    if reference.ndim == 1:
+        reference = reference[:, None]
+    n, m = int(query.shape[0]), int(reference.shape[0])
+    if abs(n - m) > constraint_band:
+        raise ValueError(
+            f"|N-M| = {abs(n-m)} exceeds band {constraint_band}: no path"
+        )
+    cost_band = _fill_banded(
+        query.astype(jnp.float32), reference.astype(jnp.float32),
+        constraint_band, n, m,
+    )
+    qs, rs, cs, length = _backtrack_banded(cost_band, constraint_band, n, m)
+    raw = cost_band[n, m - n + constraint_band]
+    distance = raw / jnp.maximum(length, 1).astype(jnp.float32)
+    return DTWResult(
+        distance=distance,
+        raw_distance=raw,
+        path_qidx=qs,
+        path_ridx=rs,
+        path_cost=cs,
+        path_length=length,
+        cost_matrix=cost_band,  # banded storage [N+1, 2R+1]
+        query_length=n,
+        ref_length=m,
+        step_pattern="symmetric2",
+        constraint=constraint_band,
+    )

@@ -71,6 +71,7 @@ jax.tree_util.register_pytree_node(
         "window_size",
         "hop_size",
         "window_type",
+        "sample_rate",  # static: it is pytree metadata on STFTResult
         "return_phase",
         "return_complex",
     ),

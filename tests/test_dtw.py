@@ -143,3 +143,50 @@ def test_distance_matrix_metrics():
     c = np.asarray(local_distance_matrix(q, r, "cosine"))
     np.testing.assert_allclose(np.diag(c), 0.0, atol=1e-6)
     assert c[0, 1] == pytest.approx(1.0, rel=1e-5)
+
+
+def test_banded_matches_dense():
+    """dtw_align_banded == dtw_align with the same band."""
+    from sonido_sonar_tpu.ops.stats.dtw import dtw_align_banded
+
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((60, 4)).astype(np.float32)
+    r = rng.standard_normal((64, 4)).astype(np.float32)
+    band = 12
+    dense = dtw_align(jnp.asarray(q), jnp.asarray(r), constraint_band=band)
+    banded = dtw_align_banded(jnp.asarray(q), jnp.asarray(r), band)
+    assert float(banded.distance) == pytest.approx(float(dense.distance), rel=1e-4)
+    Ld, Lb = int(dense.path_length), int(banded.path_length)
+    assert Ld == Lb
+    np.testing.assert_array_equal(
+        np.asarray(dense.path_qidx)[:Ld], np.asarray(banded.path_qidx)[:Lb]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dense.path_ridx)[:Ld], np.asarray(banded.path_ridx)[:Lb]
+    )
+
+
+def test_banded_rejects_out_of_band_lengths():
+    from sonido_sonar_tpu.ops.stats.dtw import dtw_align_banded
+
+    q = jnp.zeros((10, 2))
+    r = jnp.zeros((40, 2))
+    with pytest.raises(ValueError):
+        dtw_align_banded(q, r, 5)
+
+
+def test_banded_long_sequence_memory():
+    """10k-frame banded alignment runs (dense would need ~400 MB)."""
+    from sonido_sonar_tpu.ops.stats.dtw import dtw_align_banded
+
+    rng = np.random.default_rng(12)
+    base = np.cumsum(rng.standard_normal(5100), dtype=np.float32)
+    q = base[50:5050, None]
+    r = base[:5000, None]
+    res = dtw_align_banded(jnp.asarray(q), jnp.asarray(r), 80)
+    L = int(res.path_length)
+    disp = float(
+        (np.asarray(res.path_ridx)[:L] - np.asarray(res.path_qidx)[:L]).mean()
+    )
+    assert disp == pytest.approx(50, abs=10)  # q[i]=base[i+50] matches r[i+50]
+    assert res.cost_matrix.shape == (5001, 161)  # banded storage only

@@ -177,6 +177,23 @@ class Decoder:
                 break
         return md
 
+    def probe_url(self, url: str) -> AudioMetadata:
+        """ProbeURL (decoder.go:437-...): ffprobe a remote stream."""
+        if shutil.which(self.config.ffprobe_path) is None:
+            raise RuntimeError("ffprobe required for URL probing")
+        cmd = [
+            self.config.ffprobe_path,
+            "-v", "error",
+            "-show_format", "-show_streams",
+            "-of", "json",
+            "-analyzeduration", "2000000",
+            url,
+        ]
+        out = subprocess.run(
+            cmd, capture_output=True, timeout=self.config.timeout, check=True
+        ).stdout
+        return self._parse_ffprobe(json.loads(out), url)
+
     def _probe_wav(self, path: str) -> AudioMetadata:
         with wave.open(path, "rb") as w:
             return AudioMetadata(

@@ -17,14 +17,63 @@ rFFT) — O(W log W), batched over all frames at once.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-10
+
+# windows up to this size use the DFT-as-matmul correlation (MXU) in
+# the YIN difference function; larger fall back to jnp.fft
+_MATMUL_YIN_MAX_W = 2048
+
+
+@functools.lru_cache(maxsize=16)
+def _yin_dft_mats(w: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Constant matrices for the matmul YIN correlation.
+
+    Returns (M_x [w, 2F], M_first [h, 2F], M_inv [2F, h], n_fft) with
+    h = w//2, F = n_fft//2+1: forward rDFT bases for the full frame and
+    its first half, and the truncated inverse producing r(tau), tau < h.
+    """
+    h = w // 2
+    n_fft = 1
+    while n_fft < w + h:
+        n_fft <<= 1
+    f_bins = n_fft // 2 + 1
+    k = np.arange(f_bins, dtype=np.float64)[None, :]
+
+    nx = np.arange(w, dtype=np.float64)[:, None]
+    ang_x = -2.0 * np.pi * nx * k / n_fft
+    m_x = np.concatenate([np.cos(ang_x), np.sin(ang_x)], axis=1)
+
+    nf = np.arange(h, dtype=np.float64)[:, None]
+    ang_f = -2.0 * np.pi * nf * k / n_fft
+    m_first = np.concatenate([np.cos(ang_f), np.sin(ang_f)], axis=1)
+
+    # inverse: r[t] = (1/N) sum_k w_k (Re_k cos(2 pi k t/N) - Im_k sin(...))
+    t = np.arange(h, dtype=np.float64)[None, :]
+    kk = np.arange(f_bins, dtype=np.float64)[:, None]
+    wk = np.full((f_bins, 1), 2.0)
+    wk[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        wk[-1, 0] = 1.0
+    ang_i = 2.0 * np.pi * kk * t / n_fft
+    m_inv = np.concatenate(
+        [wk * np.cos(ang_i), -wk * np.sin(ang_i)], axis=0
+    ) / n_fft
+
+    return (
+        m_x.astype(np.float32),
+        m_first.astype(np.float32),
+        m_inv.astype(np.float32),
+        n_fft,
+    )
 
 
 @dataclass(frozen=True)
@@ -60,14 +109,37 @@ def _yin_difference(frames: jnp.ndarray) -> jnp.ndarray:
     s = csum0[..., tau + h] - csum0[..., tau]
 
     # r(tau) = sum_{j<H} x[j] x[j+tau]: correlation of `first` against x.
-    # Use rFFT of size >= W + H padded to pow2.
-    n_fft = 1
-    while n_fft < w + h:
-        n_fft <<= 1
-    fx = jnp.fft.rfft(x, n=n_fft, axis=-1)
-    ff = jnp.fft.rfft(first, n=n_fft, axis=-1)
-    corr = jnp.fft.irfft(jnp.conj(ff) * fx, n=n_fft, axis=-1)
-    r = corr[..., :h]
+    if w <= _MATMUL_YIN_MAX_W:
+        # DFT-as-matmul on the MXU: forward transforms of the frame and
+        # its first half, conjugate cross-power, truncated inverse
+        m_x, m_first, m_inv, n_fft = _yin_dft_mats(w)
+        f_bins = n_fft // 2 + 1
+        fx = jnp.matmul(
+            x, jnp.asarray(m_x), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ff = jnp.matmul(
+            first, jnp.asarray(m_first), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rex, imx = fx[..., :f_bins], fx[..., f_bins:]
+        ref, imf = ff[..., :f_bins], ff[..., f_bins:]
+        # conj(F_first) * F_x
+        re = ref * rex + imf * imx
+        im = ref * imx - imf * rex
+        cross = jnp.concatenate([re, im], axis=-1)
+        r = jnp.matmul(
+            cross, jnp.asarray(m_inv), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        n_fft = 1
+        while n_fft < w + h:
+            n_fft <<= 1
+        fx = jnp.fft.rfft(x, n=n_fft, axis=-1)
+        ff = jnp.fft.rfft(first, n=n_fft, axis=-1)
+        corr = jnp.fft.irfft(jnp.conj(ff) * fx, n=n_fft, axis=-1)
+        r = corr[..., :h]
 
     return e1 + s - 2.0 * r
 

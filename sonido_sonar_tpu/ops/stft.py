@@ -13,6 +13,7 @@ Frame and batch axes are vectorized; multi-chip scaling shards B via
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -28,6 +29,32 @@ from sonido_sonar_tpu.ops.windows import make_window
 # log-power floor, matches reference dB floor behavior
 # (spectral/power_spectrum.go:46-70)
 _LOG_FLOOR = 1e-10
+
+# Window sizes up to this use the DFT-as-matmul path on the MXU (the
+# windowed DFT matrix is a [W, 2F] constant; at W=1024 the matmul runs
+# ~10x faster than XLA's FFT on TPU despite the extra FLOPs).
+_MATMUL_FFT_MAX_W = 2048
+
+
+@functools.lru_cache(maxsize=32)
+def _windowed_dft_matrix(
+    window_type: WindowType, window_size: int
+) -> np.ndarray:
+    """[W, 2F] real matrix: columns are Re then Im of the rDFT basis,
+    each row pre-scaled by the (power-normalized, symmetric) window —
+    frames @ M yields [.., 2F] = [Re | Im] of the windowed rFFT."""
+    w = make_window(
+        window_type, window_size, normalize=True, symmetric=True, dtype=np.float64
+    )
+    f_bins = window_size // 2 + 1
+    n = np.arange(window_size, dtype=np.float64)[:, None]
+    k = np.arange(f_bins, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * n * k / window_size
+    m = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)  # [W, 2F]
+    m *= w[:, None]
+    out = m.astype(np.float32)
+    out.setflags(write=False)
+    return out
 
 
 @dataclass
@@ -90,14 +117,27 @@ def stft(
     Window is symmetric + unity-power-gain normalized, matching the
     production path (analyzers/spectral.go:290-295, windowing.go:426-437).
     """
-    w = jnp.asarray(
-        make_window(window_type, window_size, normalize=True, symmetric=True)
-    )
     frames = frame_signal(signal.astype(jnp.float32), window_size, hop_size)
-    spec = jnp.fft.rfft(frames * w, axis=-1)
-    mag = jnp.abs(spec).astype(jnp.float32)
-    phase = jnp.angle(spec).astype(jnp.float32) if return_phase else None
-    cplx = spec if return_complex else None
+    if window_size <= _MATMUL_FFT_MAX_W:
+        # DFT-as-matmul: [.., T, W] @ [W, 2F] on the MXU, window folded in
+        m = jnp.asarray(_windowed_dft_matrix(window_type, window_size))
+        f_bins = window_size // 2 + 1
+        reim = jnp.matmul(
+            frames, m, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        re, im = reim[..., :f_bins], reim[..., f_bins:]
+        mag = jnp.sqrt(re * re + im * im)
+        phase = jnp.arctan2(im, re) if return_phase else None
+        cplx = (re + 1j * im) if return_complex else None
+    else:
+        w = jnp.asarray(
+            make_window(window_type, window_size, normalize=True, symmetric=True)
+        )
+        spec = jnp.fft.rfft(frames * w, axis=-1)
+        mag = jnp.abs(spec).astype(jnp.float32)
+        phase = jnp.angle(spec).astype(jnp.float32) if return_phase else None
+        cplx = spec if return_complex else None
     return STFTResult(
         magnitude=mag,
         phase=phase,

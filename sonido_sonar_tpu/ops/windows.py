@@ -184,3 +184,20 @@ def make_window(
 
 def all_window_types() -> Dict[str, WindowType]:
     return {wt.value: wt for wt in WindowType}
+
+
+# recommended windows per use case (analyzers/windowing.go:446-470)
+_RECOMMENDED = {
+    "general_analysis": WindowType.HANN,
+    "speech_analysis": WindowType.HAMMING,
+    "music_analysis": WindowType.BLACKMAN,
+    "transient_analysis": WindowType.RECTANGULAR,
+    "high_resolution": WindowType.BLACKMAN_HARRIS,
+}
+
+
+def get_recommended_window(use_case: str, size: int) -> np.ndarray:
+    """GetRecommendedWindow (analyzers/windowing.go:446-470): normalized
+    symmetric window for a named use case."""
+    wt = _RECOMMENDED.get(use_case, WindowType.HANN)
+    return make_window(wt, size, normalize=True, symmetric=True)

@@ -1,0 +1,170 @@
+"""Fused STFT-magnitude Pallas kernel.
+
+The XLA path materializes the framed signal ([B, T, W] float32 — a 4x
+HBM blow-up at 75% overlap) before the DFT matmul. This kernel fuses
+framing + windowed-DFT matmul + magnitude per frame-tile: the signal
+stays in HBM, each grid step DMAs only the ~(tile*hop + W) samples it
+needs into VMEM, builds the frame tile with static reshapes, hits the
+MXU with the [W, 2F] windowed-DFT constant, and writes just the
+[tile, F] magnitudes back. HBM traffic drops from ~9x the signal size
+to ~1x + outputs.
+
+Used by `stft()` when running on TPU with window sizes that fit the
+VMEM budget; the XLA path remains the fallback (and the CPU/test path
+via interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sonido_sonar_tpu.config.config import WindowType
+
+_FRAME_TILE = 128  # frames per grid step
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("window_size", "hop_size", "window_type", "interpret"),
+)
+def stft_magnitude_pallas(
+    signal: jnp.ndarray,
+    window_size: int = 1024,
+    hop_size: int = 256,
+    window_type: WindowType = WindowType.HANN,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[B, N] -> magnitude [B, T, F] with F = window_size//2 + 1.
+
+    Requires hop_size | window_size (the production geometries). T is
+    the reference frame count (N - W)//hop + 1.
+    """
+    from sonido_sonar_tpu.ops.framing import num_frames
+    from sonido_sonar_tpu.ops.stft import _windowed_dft_matrix
+
+    if signal.ndim == 1:
+        return stft_magnitude_pallas(
+            signal[None, :], window_size, hop_size, window_type, interpret
+        )[0]
+    assert window_size % hop_size == 0, "pallas stft needs hop | window"
+
+    b, n = signal.shape
+    t = num_frames(n, window_size, hop_size)
+    f_bins = window_size // 2 + 1
+    k = window_size // hop_size
+
+    tile = _FRAME_TILE
+    n_tiles = _cdiv(t, tile)
+    # samples each tile reads: tile frames spanning (tile-1)*hop + W,
+    # rounded up so the static reshape below is exact
+    slice_len = tile * hop_size + window_size  # >= needed; static
+
+    # pad rows so every tile's DMA window is in bounds, then flatten to
+    # 1-D (row stride a multiple of 1024 keeps DMA slices tile-aligned)
+    pad_to = (n_tiles - 1) * tile * hop_size + slice_len
+    pad_to = _cdiv(max(pad_to, n), 1024) * 1024
+    sig = jnp.pad(signal.astype(jnp.float32), ((0, 0), (0, pad_to - n)))
+    row_stride = pad_to
+    sig = sig.reshape(b * row_stride)
+
+    m_dft = jnp.asarray(_windowed_dft_matrix(window_type, window_size))  # [W, 2F]
+
+    def kernel(sig_ref, dft_ref, out_ref, sig_vmem, sem):
+        bi = pl.program_id(0)  # batch row
+        i = pl.program_id(1)   # tile index
+        start = bi * row_stride + i * tile * hop_size
+        start = pl.multiple_of(start, 1024)
+        # DMA the signal slice HBM -> VMEM
+        dma = pltpu.make_async_copy(
+            sig_ref.at[pl.ds(start, slice_len)],
+            sig_vmem,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+        s = sig_vmem[:]
+
+        # build [tile, W] frames from k shifted contiguous reshapes:
+        # frames[j] = s[j*hop : j*hop + W]; rows j with j % k == r come
+        # from reshape of s[r*hop : r*hop + tile//k * W]
+        per = tile // k
+        parts = []
+        for r in range(k):
+            seg = s[r * hop_size : r * hop_size + per * window_size]
+            parts.append(seg.reshape(per, window_size))
+        stacked = jnp.stack(parts, axis=1)  # [per, k, W]
+        frames = stacked.reshape(tile, window_size)
+
+        reim = jnp.dot(
+            frames, dft_ref[:], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        re = reim[:, :f_bins]
+        im = reim[:, f_bins:]
+        out_ref[0, :, :] = jnp.sqrt(re * re + im * im)
+
+    out_padded_t = n_tiles * tile
+    grid = (b, n_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # full flattened signal stays in HBM (ANY requires the whole
+            # array + trivial index map); the kernel DMAs slices itself
+            pl.BlockSpec(
+                sig.shape,
+                lambda bi, ti: (0,),
+                memory_space=pltpu.ANY,
+            ),
+            pl.BlockSpec(
+                (window_size, 2 * f_bins),
+                lambda bi, ti: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, f_bins),
+            lambda bi, ti: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, out_padded_t, f_bins), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((slice_len,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(sig, m_dft)
+    return out[:, :t, :]
+
+
+def pallas_stft_available(window_size: int, hop_size: int) -> bool:
+    """Whether the fused kernel supports this geometry on this backend."""
+    try:
+        if jax.default_backend() not in ("tpu",):
+            return False
+    except Exception:
+        return False
+    if window_size % hop_size != 0:
+        return False
+    if _FRAME_TILE % (window_size // hop_size) != 0:
+        return False
+    # VMEM budget: dft matrix + frames + slice + out tile (float32)
+    f_bins = window_size // 2 + 1
+    vmem = 4 * (
+        window_size * 2 * f_bins
+        + _FRAME_TILE * window_size
+        + _FRAME_TILE * hop_size + window_size
+        + _FRAME_TILE * f_bins
+    )
+    return vmem < 12 * 1024 * 1024

@@ -489,3 +489,26 @@ def crest_factor_frames(
     peak = jnp.max(jnp.abs(frames), axis=-1)
     rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
     return jnp.where(rms > 0, peak / jnp.maximum(rms, _EPS), 0.0)
+
+
+def short_time_energy_cumsum(
+    signal: jnp.ndarray, frame_size: int, hop_size: int
+) -> jnp.ndarray:
+    """RMS per frame via prefix sums — O(N) and no [T, W] frames tensor.
+
+    Bit-compatible semantics with `short_time_energy` (same frame
+    boundaries); accumulation order differs (float32 cumsum), error
+    ~1e-6 relative. Preferred in fused pipelines where the frames
+    tensor is otherwise unnecessary.
+    """
+    from sonido_sonar_tpu.ops.framing import num_frames
+
+    n = signal.shape[-1]
+    t = num_frames(n, frame_size, hop_size)
+    sq = signal.astype(jnp.float32) ** 2
+    csum = jnp.concatenate(
+        [jnp.zeros_like(sq[..., :1]), jnp.cumsum(sq, axis=-1)], axis=-1
+    )
+    starts = jnp.arange(t) * hop_size
+    tot = csum[..., starts + frame_size] - csum[..., starts]
+    return jnp.sqrt(jnp.maximum(tot, 0.0) / frame_size)

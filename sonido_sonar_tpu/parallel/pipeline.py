@@ -63,8 +63,18 @@ def batched_fingerprint_features(
     flux/zcr/contrast), energy series + stats, pitch/voicing.
     """
     x = pre_emphasis(pcm.astype(jnp.float32), pre_emphasis_coeff)
-    spec = stft(x, window_size, hop_size, window_type, sample_rate)
-    mag = spec.magnitude
+    from sonido_sonar_tpu.ops.pallas_stft import (
+        pallas_stft_available,
+        stft_magnitude_pallas,
+    )
+
+    use_pallas = pallas_stft_available(window_size, hop_size)
+    if use_pallas:
+        # fused framing+DFT+magnitude kernel: the [B, T, W] frames tensor
+        # never exists in HBM
+        mag = stft_magnitude_pallas(x, window_size, hop_size, window_type)
+    else:
+        mag = stft(x, window_size, hop_size, window_type, sample_rate).magnitude
 
     out: Dict[str, jnp.ndarray] = {}
     out["mfcc"] = mfcc(
@@ -84,10 +94,14 @@ def batched_fingerprint_features(
     if enable_contrast:
         out["spectral_contrast"] = S.spectral_contrast(mag, sample_rate, 6)
 
-    frames = frame_signal(x, window_size, hop_size)
-    out["zcr"] = S.zcr(frames, sample_rate)
-
-    rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+    if use_pallas:
+        # prefix-sum formulations: O(N), no frames tensor
+        out["zcr"] = S.zcr_from_signal(x, window_size, hop_size, sample_rate)
+        rms = T.short_time_energy_cumsum(x, window_size, hop_size)
+    else:
+        frames = frame_signal(x, window_size, hop_size)
+        out["zcr"] = S.zcr(frames, sample_rate)
+        rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
     out["rms_energy"] = rms
     out["energy_entropy"] = jnp.where(rms > 0, -rms * jnp.log(rms + 1e-10), 0.0)
     out["energy_variance"] = T.energy_variance(rms)

@@ -1,0 +1,51 @@
+"""Fused Pallas STFT kernel: interpret-mode correctness on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonido_sonar_tpu.io.synth import sine, white_noise
+from sonido_sonar_tpu.ops.pallas_stft import pallas_stft_available, stft_magnitude_pallas
+from sonido_sonar_tpu.ops.stft import stft
+
+SR = 22050
+
+
+def test_pallas_matches_xla_interpret():
+    x = (sine(440, 1.0, SR) + white_noise(1.0, SR, 0.05)).astype(np.float32)
+    xb = jnp.asarray(np.stack([x, x * 0.5]))
+    ref = stft(xb, 1024, 256, sample_rate=SR).magnitude
+    got = stft_magnitude_pallas(xb, 1024, 256, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_pallas_1d_input():
+    x = jnp.asarray(white_noise(0.5, SR, 0.2))
+    ref = stft(x, 512, 128, sample_rate=SR).magnitude
+    got = stft_magnitude_pallas(x, 512, 128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_availability_gate():
+    # CPU backend in tests -> not available (real path gated to TPU)
+    assert not pallas_stft_available(1024, 256)
+    # bad geometry rejected regardless
+    assert not pallas_stft_available(1000, 256)
+
+
+def test_cumsum_feature_parity():
+    from sonido_sonar_tpu.ops.framing import frame_signal
+    from sonido_sonar_tpu.ops.spectral import zcr, zcr_from_signal
+    from sonido_sonar_tpu.ops.temporal import short_time_energy, short_time_energy_cumsum
+
+    x = jnp.asarray(white_noise(1.0, SR, 0.3, seed=4))
+    rms_a = np.asarray(short_time_energy(x, 1024, 256))
+    rms_b = np.asarray(short_time_energy_cumsum(x, 1024, 256))
+    np.testing.assert_allclose(rms_a, rms_b, rtol=2e-4)
+
+    frames = frame_signal(x, 1024, 256)
+    z_a = np.asarray(zcr(frames, SR))
+    z_b = np.asarray(zcr_from_signal(x, 1024, 256, SR))
+    # the cumsum variant may count one extra boundary crossing per frame
+    assert np.abs(z_a - z_b).max() <= SR / 1024 + 1e-3

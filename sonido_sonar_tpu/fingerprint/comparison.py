@@ -471,3 +471,73 @@ def get_similarity_statistics(results: List[SimilarityResult]) -> Dict[str, floa
         "mean_confidence": float(confs.mean()),
         "count": float(len(results)),
     }
+
+
+# ---------------------------------------------------------------------
+# Upstream-disabled MFCC similarity variants (comparison.go:404-609 —
+# implemented in the reference but commented out of the live path,
+# SURVEY.md quirk #3). Available here as opt-in methods.
+# ---------------------------------------------------------------------
+
+def compare_mfcc_sequences(m1, m2, num_coeffs: int = 10) -> float:
+    """compareMFCCSequences (comparison.go:404-470): per-coefficient
+    sequence cross-correlation peak over the first <=10 coefficients,
+    averaged."""
+    import jax.numpy as jnp
+
+    from sonido_sonar_tpu.ops.stats.correlation import cross_correlate_pearson
+
+    a = _to_np(m1)
+    b = _to_np(m2)
+    if a.size == 0 or b.size == 0:
+        return 0.0
+    k = min(a.shape[1], b.shape[1], num_coeffs)
+    max_lag = min(len(a), len(b)) // 4
+    sims = []
+    for c in range(k):
+        res = cross_correlate_pearson(
+            jnp.asarray(a[:, c], dtype=jnp.float32),
+            jnp.asarray(b[:, c], dtype=jnp.float32),
+            max_lag,
+        )
+        sims.append(abs(float(res.peak_correlation)))
+    return float(np.mean(sims)) if sims else 0.0
+
+
+def compare_mfcc_with_dtw(m1, m2, band: int = 50) -> float:
+    """compareMFCCWithDTW (comparison.go:473-609): banded DTW over the
+    MFCC frame sequences, normalized distance -> exp(-d) similarity."""
+    import jax.numpy as jnp
+
+    from sonido_sonar_tpu.ops.stats.dtw import dtw_align
+
+    a = _to_np(m1).astype(np.float32)
+    b = _to_np(m2).astype(np.float32)
+    if a.size == 0 or b.size == 0:
+        return 0.0
+    res = dtw_align(jnp.asarray(a), jnp.asarray(b), constraint_band=band)
+    avg_len = (len(a) + len(b)) / 2.0
+    nd = float(res.distance) / max(avg_len, 1.0)
+    return float(np.exp(-nd))
+
+
+# content-aware combination weights for the three MFCC methods — the
+# reference computes these but leaves the combination commented out
+# (comparison.go:375-399); combine_mfcc_methods applies them.
+_MFCC_COMBINE_WEIGHTS = {
+    ContentType.MUSIC: (0.15, 0.35, 0.50),
+    ContentType.TALK: (0.40, 0.35, 0.25),
+    ContentType.NEWS: (0.40, 0.35, 0.25),
+    ContentType.SPORTS: (0.25, 0.25, 0.50),
+    ContentType.MIXED: (0.20, 0.30, 0.50),
+}
+
+
+def combine_mfcc_methods(
+    stats_sim: float, seq_sim: float, dtw_sim: float,
+    content_type: ContentType = ContentType.UNKNOWN,
+) -> float:
+    """The reference's intended (commented-out) per-content combination
+    of stats/sequence/DTW MFCC similarities (comparison.go:375-399)."""
+    ws, wq, wd = _MFCC_COMBINE_WEIGHTS.get(content_type, (0.30, 0.30, 0.40))
+    return ws * stats_sim + wq * seq_sim + wd * dtw_sim

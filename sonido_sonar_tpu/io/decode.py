@@ -227,6 +227,11 @@ class Decoder:
             return self._decode_with_ffmpeg(in_args, AudioMetadata(), stdin=data)
         return self._decode_wav_bytes(data)
 
+    def decode_reader(self, reader, format_hint: str = "") -> AudioData:
+        """DecodeReader (decoder.go:227-259): decode from a file-like
+        object (read fully, then the bytes path)."""
+        return self.decode_bytes(reader.read(), format_hint)
+
     def decode_url(self, url: str, is_hls: bool = False, is_icecast: bool = False) -> AudioData:
         """decoder.go:262-434. Streaming flags map to ffmpeg input options."""
         if not self.ffmpeg_available():

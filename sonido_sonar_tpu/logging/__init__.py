@@ -52,6 +52,11 @@ class Logger:
         merged = {**self._fields, **fields}
         return Logger(self._name, merged, self._log)
 
+    def with_context(self, context: Any) -> "Logger":
+        """WithContext (logging.go:60): attach a request/trace context
+        object as a field."""
+        return self.with_fields(context=context)
+
     def with_component(self, component: str, function: str = "") -> "Logger":
         f: Fields = {"component": component}
         if function:

@@ -157,3 +157,35 @@ def biquad_response(
     num = b[0] + b[1] * z1 + b[2] * z2
     den = a[0] + a[1] * z1 + a[2] * z2
     return jnp.abs(num / den).astype(jnp.float32)
+
+
+def adaptive_pre_emphasis(
+    signal: jnp.ndarray,
+    base_coefficient: float = 0.95,
+    adaptation_rate: float = 0.01,
+) -> jnp.ndarray:
+    """Adaptive pre-emphasis (pre_emphasis.go NewAdaptivePreEmphasis):
+    the coefficient tracks the signal's spectral tilt — frames with more
+    high-frequency energy get less emphasis. Implemented as a lax.scan
+    over samples updating a running energy ratio, as upstream."""
+    x = signal.astype(jnp.float32)
+
+    def step(carry, xn):
+        alpha, prev, energy = carry
+        y = xn - alpha * prev
+        # track high-frequency proxy (first-difference energy ratio)
+        energy = (1.0 - adaptation_rate) * energy + adaptation_rate * (
+            (xn - prev) ** 2 / jnp.maximum(xn * xn + 1e-10, 1e-10)
+        )
+        target = jnp.clip(base_coefficient + 0.03 * (1.0 - jnp.clip(energy, 0.0, 1.0)), 0.9, 0.99)
+        alpha = alpha + adaptation_rate * (target - alpha)
+        return (alpha, xn, energy), y
+
+    flat = x.reshape(-1, x.shape[-1])
+
+    def per_row(row):
+        init = (jnp.float32(base_coefficient), jnp.float32(0.0), jnp.float32(0.0))
+        _, ys = jax.lax.scan(step, init, row)
+        return ys
+
+    return jax.vmap(per_row)(flat).reshape(x.shape)

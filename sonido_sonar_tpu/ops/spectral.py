@@ -328,3 +328,34 @@ def zcr_from_signal(
     cnt = csum[..., starts + frame_size - 1] - csum[..., starts]
     duration = frame_size / float(sample_rate)
     return cnt / duration
+
+
+def spectral_contrast_custom_bands(
+    magnitude: jnp.ndarray, sample_rate: int, band_freqs_hz: tuple
+) -> jnp.ndarray:
+    """ComputeWithCustomBands (spectral_contrast.go:104-137): contrast
+    over caller-provided band edge frequencies (static tuple)."""
+    n_bins = magnitude.shape[-1]
+    nyquist = sample_rate / 2.0
+    edges = [
+        min(max(int(f * (n_bins - 1) / nyquist), 0), n_bins - 1)
+        for f in band_freqs_hz
+    ]
+    for i in range(1, len(edges)):
+        if edges[i] <= edges[i - 1]:
+            edges[i] = edges[i - 1] + 1
+    power = magnitude * magnitude
+    outs = []
+    for b in range(len(edges) - 1):
+        lo, hi = edges[b], min(edges[b + 1], n_bins)
+        if lo >= hi:
+            outs.append(jnp.zeros(magnitude.shape[:-1], magnitude.dtype))
+            continue
+        band = power[..., lo:hi]
+        width = hi - lo
+        k = max(int(0.2 * width), 1)
+        sorted_band = jnp.sort(band, axis=-1)
+        valley = jnp.maximum(jnp.mean(sorted_band[..., :k], axis=-1), _EPS)
+        peak = jnp.mean(sorted_band[..., width - k:], axis=-1)
+        outs.append(jnp.where(peak > 0, 10.0 * jnp.log10(peak / valley), 0.0))
+    return jnp.stack(outs, axis=-1)

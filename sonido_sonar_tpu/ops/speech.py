@@ -140,6 +140,12 @@ def lpc_analyze(signal: jnp.ndarray, sample_rate: int, order: int = 0) -> LPCRes
     return LPCResult(a, k, gain, e, p)
 
 
+def lpc_is_stable(reflection: jnp.ndarray) -> jnp.ndarray:
+    """Filter stability check (lpc.go checkStability): all reflection
+    coefficients strictly inside the unit circle."""
+    return jnp.all(jnp.abs(reflection) < 1.0, axis=-1)
+
+
 def lpc_spectral_envelope(coeffs: jnp.ndarray, nfft: int = 1024) -> jnp.ndarray:
     """LPC envelope 1/|A(e^jw)| over nfft/2+1 bins, batched.
 

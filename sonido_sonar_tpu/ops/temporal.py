@@ -512,3 +512,44 @@ def short_time_energy_cumsum(
     starts = jnp.arange(t) * hop_size
     tot = csum[..., starts + frame_size] - csum[..., starts]
     return jnp.sqrt(jnp.maximum(tot, 0.0) / frame_size)
+
+
+def detect_onsets_complex(
+    magnitude: jnp.ndarray,
+    phase: jnp.ndarray,
+    hop_size: int,
+    sample_rate: int,
+    threshold: float = 0.3,
+    min_interval_sec: float = 0.05,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Complex-domain onset detection (onset_detection.go complex
+    method): deviation between the observed spectrum and the
+    phase-advanced prediction from the previous two frames."""
+    # predicted phase: 2*phi[t-1] - phi[t-2]
+    pred_phase = 2.0 * phase[..., 1:-1, :] - phase[..., :-2, :]
+    pred_re = magnitude[..., 1:-1, :] * jnp.cos(pred_phase)
+    pred_im = magnitude[..., 1:-1, :] * jnp.sin(pred_phase)
+    obs_re = magnitude[..., 2:, :] * jnp.cos(phase[..., 2:, :])
+    obs_im = magnitude[..., 2:, :] * jnp.sin(phase[..., 2:, :])
+    dev = jnp.sqrt((obs_re - pred_re) ** 2 + (obs_im - pred_im) ** 2)
+    onset_fn = jnp.sum(dev, axis=-1)
+    pad = [(0, 0)] * (onset_fn.ndim - 1) + [(2, 0)]
+    onset_fn = jnp.pad(onset_fn, pad)
+    return detect_onsets_from_flux(
+        onset_fn, hop_size, sample_rate, threshold, min_interval_sec
+    )
+
+
+def energy_statistics(signal: jnp.ndarray, frame_size: int, hop_size: int) -> dict:
+    """ComputeEnergyStatistics (energy.go:250-...): summary stats of the
+    short-time energy series."""
+    e = short_time_energy(signal, frame_size, hop_size)
+    return {
+        "mean": jnp.mean(e, axis=-1),
+        "std": jnp.std(e, axis=-1),
+        "min": jnp.min(e, axis=-1),
+        "max": jnp.max(e, axis=-1),
+        "variance": energy_variance(e),
+        "entropy": energy_entropy(e),
+        "dynamic_range_db": percentile_range_db(e, 0.10, 0.95),
+    }

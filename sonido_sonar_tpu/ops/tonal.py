@@ -561,6 +561,21 @@ class PitchDetector:
             return cepstrum_pitch(frames, self.params)
         if method == "zcr":
             return zcr_pitch(frames, self.params)
+        if method == "peaks":
+            # strongest spectral peak as the pitch estimate
+            # (pitch_detection.go:687-692)
+            w = frames.shape[-1]
+            spec = jnp.abs(jnp.fft.rfft(frames.astype(jnp.float32), axis=-1))
+            freqs, mags, count = detect_spectral_peaks(
+                spec, self.sample_rate, w, max_peaks=4
+            )
+            p = freqs[..., 0]
+            ok = (p >= self.params.min_freq) & (p <= self.params.max_freq) & (count > 0)
+            total = jnp.sum(spec, axis=-1)
+            conf = jnp.where(
+                ok & (total > _EPS), jnp.clip(mags[..., 0] / jnp.maximum(total, _EPS) * 4.0, 0.0, 1.0), 0.0
+            )
+            return jnp.where(ok, p, 0.0), conf
         if method == "hps":
             w = frames.shape[-1]
             spec = jnp.abs(jnp.fft.rfft(frames.astype(jnp.float32), axis=-1))

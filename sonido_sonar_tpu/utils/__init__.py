@@ -5,3 +5,8 @@ from sonido_sonar_tpu.utils.serialize import (  # noqa: F401
     load_fingerprint_npz,
     save_fingerprint_npz,
 )
+from sonido_sonar_tpu.utils.metrics import (  # noqa: F401
+    Metrics,
+    get_global_metrics,
+    profiler_trace,
+)

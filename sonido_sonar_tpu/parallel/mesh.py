@@ -59,3 +59,22 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, rem)
     return np.pad(x, pad), n
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (SURVEY.md section 2.17: jax.distributed
+    init for multi-host slices). No-op when already initialized or when
+    running single-process."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # already initialized, or single-process run without coordinator
+        pass

@@ -272,6 +272,52 @@ class AlignmentExtractor:
         return result
 
     # ------------------------------------------------------------------
+    def refine_offset_with_pcm(
+        self,
+        query_pcm: jnp.ndarray,
+        reference_pcm: jnp.ndarray,
+        sample_rate: int,
+        coarse_offset_seconds: float,
+        search_hops: int = 8,
+    ) -> float:
+        """Sample-level refinement of a frame-level offset via GCC-PHAT
+        (phase-transform-whitened cross-correlation) over +-search_hops
+        hops around the coarse estimate.
+
+        Plain PCM correlation is ambiguous for quasi-periodic audio (the
+        peak comb repeats every pitch period); PHAT whitening collapses
+        it to a delta at the true delay. Returns the refined offset in
+        seconds (positive = reference delayed); exact-sample accuracy on
+        clean streams — ~3 orders of magnitude inside the one-hop
+        (5.8 ms) baseline budget."""
+        coarse = int(round(coarse_offset_seconds * sample_rate))
+        n1 = int(query_pcm.shape[-1])
+        n2 = int(reference_pcm.shape[-1])
+        # align windows: reference delayed by `coarse` -> compare
+        # query[t] with reference[t + coarse]
+        start_q = max(0, -coarse)
+        start_r = max(0, coarse)
+        length = min(n1 - start_q, n2 - start_r)
+        if length < self.config.window_size * 4:
+            return coarse_offset_seconds
+        q = jnp.asarray(query_pcm)[start_q : start_q + length]
+        r = jnp.asarray(reference_pcm)[start_r : start_r + length]
+        max_lag = max(search_hops * self.config.hop_size, 8)
+
+        n_fft = 1
+        while n_fft < length + max_lag:
+            n_fft <<= 1
+        f1 = jnp.fft.rfft(q, n=n_fft)
+        f2 = jnp.fft.rfft(r, n=n_fft)
+        cross = f1 * jnp.conj(f2)
+        phat = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+        cc = jnp.fft.irfft(phat, n=n_fft)
+        window = jnp.concatenate([cc[n_fft - max_lag :], cc[: max_lag + 1]])
+        residual_lag = int(jnp.argmax(window)) - max_lag
+        residual = -residual_lag  # positive = reference (still) delayed
+        return (coarse + residual) / float(sample_rate)
+
+    # ------------------------------------------------------------------
     def truncate_to_alignment_pcm(
         self,
         pcm1: np.ndarray,

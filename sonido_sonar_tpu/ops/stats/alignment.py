@@ -153,8 +153,21 @@ class AlignmentAnalyzer:
         similarity = min(1.0, max(0.0, abs(peak_corr)))
         confidence = correlation_confidence(corr)
         quality = correlation_quality(corr, self.max_lag)
-        # positive = reference delayed (see module docstring sign note)
-        offset = -peak_lag * self.hop_size
+        # positive = reference delayed (see module docstring sign note).
+        # Sub-frame refinement: parabolic interpolation of the peak's
+        # neighbors gives lag accuracy well below one hop (the reference
+        # is frame-quantized).
+        lag_refined = float(peak_lag)
+        idx = int(corr.peak_index)
+        c = corr.correlations
+        if 0 < idx < c.shape[-1] - 1:
+            y0, y1, y2 = float(c[idx - 1]), float(c[idx]), float(c[idx + 1])
+            denom = y0 - 2.0 * y1 + y2
+            if abs(denom) > 1e-12:
+                shift = 0.5 * (y0 - y2) / denom
+                if abs(shift) <= 1.0:
+                    lag_refined = peak_lag + shift
+        offset = int(round(-lag_refined * self.hop_size))
         return AlignmentResult(
             method="correlation",
             offset=offset,

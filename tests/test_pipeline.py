@@ -243,3 +243,18 @@ def test_align_audio_files_direct(broadcast_clip):
     # path; the full multi-feature path (test_alignment_end_to_end) holds
     # the 1-hop budget
     assert abs(abs(feats.temporal_offset) - lag / SR) < 3 * 256 / SR + 1e-3
+
+
+def test_pcm_refinement_sample_accuracy(broadcast_clip):
+    """Frame-level estimate + PCM refinement -> exact-sample latency."""
+    lag = int(0.5 * SR) + 137  # deliberately off the hop grid
+    source = broadcast_clip
+    cdn = shift_signal(source, lag, noise=0.005)
+    fc = FeatureConfig(sample_rate=SR, window_size=1024, hop_size=256)
+    ext = AlignmentExtractor(fc, max_lag_seconds=2.0)
+    feats = ext.align_audio_files(jnp.asarray(source), jnp.asarray(cdn), SR)
+    refined = ext.refine_offset_with_pcm(
+        jnp.asarray(source), jnp.asarray(cdn), SR, feats.temporal_offset,
+    )
+    err_samples = abs(refined * SR - lag)
+    assert err_samples <= 2, f"refined err {err_samples:.1f} samples"

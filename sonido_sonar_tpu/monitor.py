@@ -71,11 +71,10 @@ class LatencyMonitor:
         )[-self._window :]
 
     def ready(self) -> bool:
-        min_needed = max(
-            self.feature_config.window_size * 4,
-            int(2 * self.max_lag_seconds * self._sr) + self.feature_config.window_size,
-        )
-        return len(self._src) >= min_needed and len(self._cdn) >= min_needed
+        """Both rolling windows full. Measuring only at the fixed window
+        size keeps the aligned shapes constant, so the jitted alignment
+        compiles exactly once."""
+        return len(self._src) >= self._window and len(self._cdn) >= self._window
 
     def measure(self) -> Optional[LatencyMeasurement]:
         """Align the current windows; returns None until enough audio is
@@ -85,7 +84,9 @@ class LatencyMonitor:
         metrics = get_global_metrics()
         with metrics.timer("latency_measure"):
             feats = self._extractor.align_audio_files(
-                jnp.asarray(self._src), jnp.asarray(self._cdn), self._sr
+                jnp.asarray(self._src[-self._window :]),
+                jnp.asarray(self._cdn[-self._window :]),
+                self._sr,
             )
         metrics.record_audio(len(self._src) / self._sr)
         m = LatencyMeasurement(

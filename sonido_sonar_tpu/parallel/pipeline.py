@@ -183,3 +183,33 @@ def batched_pair_alignment(
 
     lags, corrs, snrs = jax.vmap(one)(query_energy, reference_energy)
     return {"lag_frames": lags, "peak_correlation": corrs, "snr": snrs}
+
+
+def run_stream(
+    pipeline: "BatchedFingerprintPipeline",
+    batches,
+    drain_every: int = 2,
+):
+    """Process an iterator of [B, N] PCM batches with input overlap.
+
+    JAX's async dispatch overlaps the H2D upload + compute of batch k+1
+    with the host-side consumption of batch k; `drain_every` bounds the
+    number of in-flight steps (the double-buffering depth). Yields the
+    completed feature dicts in order (SURVEY.md phase-6 input-pipeline
+    overlap).
+    """
+    import collections
+
+    import jax
+
+    inflight = collections.deque()
+    for batch in batches:
+        inflight.append(pipeline(batch))
+        if len(inflight) > drain_every:
+            done = inflight.popleft()
+            jax.block_until_ready(done)
+            yield done
+    while inflight:
+        done = inflight.popleft()
+        jax.block_until_ready(done)
+        yield done

@@ -125,3 +125,20 @@ def test_graft_entry_contract():
     assert out["mfcc"].shape[0] == 2
 
     g.dryrun_multichip(8)
+
+
+def test_run_stream_overlap():
+    from sonido_sonar_tpu.parallel.pipeline import run_stream
+
+    mesh = make_mesh()
+    cfg = FeatureConfig(sample_rate=SR, window_size=512, hop_size=128)
+    pipe = BatchedFingerprintPipeline(mesh, cfg)
+    rng = np.random.default_rng(3)
+    batches = [rng.standard_normal((8, SR)).astype(np.float32) * 0.1 for _ in range(5)]
+    outs = list(run_stream(pipe, iter(batches)))
+    assert len(outs) == 5
+    # order preserved: recompute batch 0 directly
+    direct = pipe(batches[0])
+    np.testing.assert_allclose(
+        np.asarray(outs[0]["mfcc"]), np.asarray(direct["mfcc"]), atol=1e-5
+    )

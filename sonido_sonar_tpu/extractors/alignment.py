@@ -286,10 +286,11 @@ class AlignmentExtractor:
 
         Plain PCM correlation is ambiguous for quasi-periodic audio (the
         peak comb repeats every pitch period); PHAT whitening collapses
-        it to a delta at the true delay. Returns the refined offset in
-        seconds (positive = reference delayed); exact-sample accuracy on
-        clean streams — ~3 orders of magnitude inside the one-hop
-        (5.8 ms) baseline budget."""
+        it to a delta at the true delay (standard in TDoA estimation,
+        cf. arXiv:2204.13622). Returns the refined offset in seconds
+        (positive = reference delayed); exact-sample accuracy on clean
+        streams — ~3 orders of magnitude inside the one-hop (5.8 ms)
+        baseline budget."""
         coarse = int(round(coarse_offset_seconds * sample_rate))
         n1 = int(query_pcm.shape[-1])
         n2 = int(reference_pcm.shape[-1])

@@ -32,7 +32,8 @@ _LOG_FLOOR = 1e-10
 
 # Window sizes up to this use the DFT-as-matmul path on the MXU (the
 # windowed DFT matrix is a [W, 2F] constant; at W=1024 the matmul runs
-# ~10x faster than XLA's FFT on TPU despite the extra FLOPs).
+# ~10x faster than XLA's FFT on TPU despite the extra FLOPs — the
+# GEMM-native NDFT frontend idea, cf. MelT, arXiv:2606.01009).
 _MATMUL_FFT_MAX_W = 2048
 
 

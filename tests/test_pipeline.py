@@ -258,3 +258,32 @@ def test_pcm_refinement_sample_accuracy(broadcast_clip):
     )
     err_samples = abs(refined * SR - lag)
     assert err_samples <= 2, f"refined err {err_samples:.1f} samples"
+
+
+def test_music_extractor_end_to_end():
+    """Music path via strict_reference_routing=False: chroma + harmonic
+    fields populated, music weights attached. Uses a low-noise clip:
+    the music pre-emphasis (alpha=0.95, applied before pitch tracking in
+    the reference too) costs ~10 dB of SNR, so a noisy tone yields an
+    all-zero pitch track in both implementations."""
+    clip = (harmonic_tone(220.0, 4.0, SR) + white_noise(4.0, SR, 0.005)).astype(np.float32)
+    cfg = FingerprintConfig(feature_config=FeatureConfig(sample_rate=SR))
+    gen = FingerprintGenerator(cfg, strict_reference_routing=False)
+    fp = gen.generate_fingerprint(make_audio(clip, genre="rock"))
+    assert fp.metadata["extractor_name"] == "MusicFeatureExtractor"
+    f = fp.features
+    assert f.chroma_features is not None
+    assert f.harmonic_features is not None
+    assert f.temporal_features.crest_factor is not None
+    ch = np.asarray(f.chroma_features).mean(axis=0)
+    # 220 Hz = A: chroma should peak at A through the music path
+    from sonido_sonar_tpu.ops.chroma import CHROMA_LABELS
+    assert ch.argmax() == CHROMA_LABELS.index("A")
+    # pitch detected (no speech pre-emphasis killing the fundamental here)
+    pitch = np.asarray(f.harmonic_features.pitch_estimate)
+    voiced = pitch[pitch > 0]
+    assert len(voiced) > 0
+    # comparator handles music fingerprints end-to-end
+    fp2 = gen.generate_fingerprint(make_audio(clip, genre="rock"))
+    res = FingerprintComparator().compare(fp, fp2)
+    assert res.overall_similarity > 0.9

@@ -278,7 +278,7 @@ class AlignmentExtractor:
         reference_pcm: jnp.ndarray,
         sample_rate: int,
         coarse_offset_seconds: float,
-        search_hops: int = 8,
+        search_hops: int = 24,
     ) -> float:
         """Sample-level refinement of a frame-level offset via GCC-PHAT
         (phase-transform-whitened cross-correlation) over +-search_hops

@@ -191,25 +191,45 @@ class AlignmentAnalyzer:
         offset-unit note in the module docstring).
 
         Long banded alignments route to the O(T*band) banded fill so the
-        dense cost matrix (O(T^2)) never materializes."""
+        dense cost matrix (O(T^2)) never materializes.
+
+        NOTE deviation: the band is widened to cover the configured max
+        lag. The reference uses DTWBandRadius (default 50) regardless of
+        MaxLagSeconds, so its DTW path physically cannot express offsets
+        beyond 50 frames and the hybrid silently returns a near-zero
+        offset for large lags."""
         n, m = int(query.shape[0]), int(reference.shape[0])
+        band = self.dtw_band
+        if band > 0 and self.max_lag > 0:
+            band = max(band, self.max_lag)
         use_banded = (
-            self.dtw_band > 0
-            and n * m > 4_000_000
-            and abs(n - m) <= self.dtw_band
+            band > 0 and n * m > 4_000_000 and abs(n - m) <= band
         )
         if use_banded:
             from sonido_sonar_tpu.ops.stats.dtw import dtw_align_banded
 
-            dtw = dtw_align_banded(query, reference, self.dtw_band)
+            dtw = dtw_align_banded(query, reference, band)
         else:
-            dtw = dtw_align(query, reference, constraint_band=self.dtw_band)
+            dtw = dtw_align(query, reference, constraint_band=band)
         L = int(dtw.path_length)
         qi = np.asarray(dtw.path_qidx)[:L]
         ri = np.asarray(dtw.path_ridx)[:L]
         costs = np.asarray(dtw.path_cost)[:L]
 
-        offset_frames = int(np.sum(ri - qi)) // max(L, 1)
+        # NOTE deviation: the reference averages (ri - qi) over the WHOLE
+        # path (alignment.go:530-541). For a shift of D frames the path's
+        # first/last ~D points are pinned to the matrix edges with
+        # displacements sweeping 0..D, biasing the mean low by ~D/T. The
+        # median over interior points (both indices off the borders) is
+        # the unbiased estimate.
+        interior = (
+            (qi > 0) & (ri > 0) & (qi < dtw.query_length - 1) & (ri < dtw.ref_length - 1)
+        )
+        disp = ri - qi
+        if interior.any():
+            offset_frames = int(np.median(disp[interior]))
+        else:
+            offset_frames = int(np.sum(disp)) // max(L, 1)
         offset = offset_frames * self.hop_size
         similarity = dtw_similarity(dtw, qi, ri, costs)
         confidence = dtw_confidence(dtw, qi, ri, costs)
@@ -233,7 +253,13 @@ class AlignmentAnalyzer:
     def _align_hybrid(
         self, query: jnp.ndarray, reference: jnp.ndarray, sr: int
     ) -> AlignmentResult:
-        """alignWithHybrid (alignment.go:308-337)."""
+        """alignWithHybrid (alignment.go:308-337).
+
+        NOTE deviation: the reference takes the DTW offset
+        unconditionally once it falls through the 0.7 gate; we take the
+        offset from whichever path is more confident (the blended
+        confidence/similarity weights are unchanged), so a sound
+        correlation peak is not overridden by a degenerate DTW path."""
         corr_res = self._align_xcorr(query, reference, sr)
         if corr_res.confidence > 0.7:
             return corr_res
@@ -241,10 +267,11 @@ class AlignmentAnalyzer:
             dtw_res = self._align_dtw(query, reference, sr)
         except Exception:
             return corr_res
+        winner = dtw_res if dtw_res.confidence >= corr_res.confidence else corr_res
         return AlignmentResult(
             method="hybrid",
-            offset=dtw_res.offset,
-            offset_seconds=dtw_res.offset_seconds,
+            offset=winner.offset,
+            offset_seconds=winner.offset_seconds,
             confidence=0.6 * dtw_res.confidence + 0.4 * corr_res.confidence,
             similarity=0.7 * dtw_res.similarity + 0.3 * corr_res.similarity,
             alignment_quality=dtw_res.alignment_quality,

@@ -411,10 +411,30 @@ class FingerprintComparator:
         query: AudioFingerprint,
         candidates: List[AudioFingerprint],
         max_results: int = 0,
+        use_device_prefilter: bool = True,
+        prefilter_threshold: int = 256,
     ) -> List[Match]:
         """FindBestMatches (comparison.go:197-263): threshold + sort +
-        rank."""
+        rank.
+
+        For large candidate sets (> prefilter_threshold) a batched
+        device matmul over packed statistics vectors prefilters to the
+        top 4*max_results candidates before the exact pairwise
+        comparison — corpus search cost drops from O(C) Python-loop
+        comparisons to one [C, D] matmul + a short exact pass."""
         max_results = max_results or self.config.max_candidates
+        if use_device_prefilter and len(candidates) > prefilter_threshold:
+            from sonido_sonar_tpu.parallel.matcher import (
+                fingerprint_matrix,
+                pack_statistics,
+                sharded_top_k_matches,
+            )
+
+            corpus = fingerprint_matrix(candidates)
+            qv = pack_statistics(query)
+            k = min(4 * max_results, len(candidates))
+            idx, _ = sharded_top_k_matches(qv, corpus, k=k, mesh=None)
+            candidates = [candidates[int(i)] for i in idx]
         results = self.batch_compare(query, candidates)
         by_id = {c.id: c for c in candidates}
         matches = [

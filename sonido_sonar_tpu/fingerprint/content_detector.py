@@ -197,30 +197,27 @@ class ContentDetector:
     @staticmethod
     def _energy_variance(x: np.ndarray) -> float:
         """frame 1024 hop 512 mean-square energies -> population variance
-        (:258-293)."""
+        (:258-293). Vectorized via cumsum."""
         frame = 1024
         if len(x) < frame * 2:
             return 0.0
-        energies = []
-        for i in range(0, len(x) - frame, frame // 2):
-            seg = x[i : i + frame]
-            energies.append(float((seg * seg).sum()) / frame)
+        csum = np.concatenate([[0.0], np.cumsum(x * x)])
+        starts = np.arange(0, len(x) - frame, frame // 2)
+        energies = (csum[starts + frame] - csum[starts]) / frame
         if len(energies) <= 1:
             return 0.0
         return float(np.var(energies))
 
     @staticmethod
     def _silence_ratio(x: np.ndarray) -> float:
-        """RMS < 0.01 per 1024 frame (:296-320)."""
+        """RMS < 0.01 per 1024 frame (:296-320). Vectorized."""
         frame = 1024
-        silent = total = 0
-        for i in range(0, len(x) - frame + 1, frame):
-            seg = x[i : i + frame]
-            rms = np.sqrt(float((seg * seg).mean()))
-            total += 1
-            if rms < 0.01:
-                silent += 1
-        return silent / total if total else 0.0
+        t = len(x) // frame
+        if t == 0:
+            return 0.0
+        segs = x[: t * frame].reshape(t, frame)
+        rms = np.sqrt((segs * segs).mean(axis=1))
+        return float((rms < 0.01).mean())
 
     @staticmethod
     def _dynamic_range(x: np.ndarray) -> float:
@@ -266,14 +263,14 @@ class ContentDetector:
 
     @staticmethod
     def _temporal_stability(x: np.ndarray, sample_rate: int) -> float:
-        """100 ms frame energies -> 1 - cv (:410-450)."""
+        """100 ms frame energies -> 1 - cv (:410-450). Vectorized."""
         frame = sample_rate // 10
         if len(x) < frame * 3:
             return 0.0
-        energies = []
-        for i in range(0, len(x) - frame, frame):
-            seg = x[i : i + frame]
-            energies.append(float((seg * seg).sum()))
+        t = (len(x) - frame) // frame + ((len(x) - frame) % frame > 0)
+        csum = np.concatenate([[0.0], np.cumsum(x * x)])
+        starts = np.arange(0, len(x) - frame, frame)
+        energies = csum[starts + frame] - csum[starts]
         if len(energies) <= 1:
             return 0.0
         mean = float(np.mean(energies))

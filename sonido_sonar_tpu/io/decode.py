@@ -361,3 +361,28 @@ def write_wav(path: str, pcm: np.ndarray, sample_rate: int) -> None:
         w.setsampwidth(2)
         w.setframerate(sample_rate)
         w.writeframes(ints.tobytes())
+
+
+def decode_files_parallel(
+    paths, config: Optional[DecoderConfig] = None, max_workers: int = 8
+):
+    """Decode many files concurrently (the host-side data-loader for
+    corpus work; decode is I/O + subprocess bound, so a thread pool is
+    the right shape). Returns AudioData in input order; failures become
+    None with a warning."""
+    import concurrent.futures
+
+    from sonido_sonar_tpu.logging import get_global_logger
+
+    log = get_global_logger().with_component("transcode", "decode_files_parallel")
+    dec = Decoder(config)
+
+    def one(path):
+        try:
+            return dec.decode_file(path)
+        except Exception as e:
+            log.warn("decode failed", path=path, error=str(e))
+            return None
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(one, paths))

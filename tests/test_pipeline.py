@@ -287,3 +287,40 @@ def test_music_extractor_end_to_end():
     fp2 = gen.generate_fingerprint(make_audio(clip, genre="rock"))
     res = FingerprintComparator().compare(fp, fp2)
     assert res.overall_similarity > 0.9
+
+
+def test_find_best_matches_prefilter(generator, speech_clip, music_clip):
+    """Device prefilter path returns the same top match as exhaustive."""
+    comp = FingerprintComparator()
+    query = generator.generate_fingerprint(make_audio(speech_clip, genre="talk"))
+    same = generator.generate_fingerprint(make_audio(speech_clip, genre="talk"))
+    others = [
+        generator.generate_fingerprint(
+            make_audio(music_clip + white_noise(4.0, SR, 0.02, seed=i), genre="rock")
+        )
+        for i in range(3)
+    ]
+    cands = [same] + others
+    exhaustive = comp.find_best_matches(query, cands, use_device_prefilter=False)
+    prefiltered = comp.find_best_matches(
+        query, cands, use_device_prefilter=True, prefilter_threshold=2
+    )
+    assert exhaustive[0].fingerprint.id == prefiltered[0].fingerprint.id == same.id
+
+
+def test_decode_files_parallel(tmp_path):
+    from sonido_sonar_tpu.io.decode import decode_files_parallel
+    from sonido_sonar_tpu.io.decode import write_wav
+    from sonido_sonar_tpu.io.synth import sine
+
+    paths = []
+    for i, f in enumerate([220, 440, 880]):
+        p = str(tmp_path / f"c{i}.wav")
+        write_wav(p, sine(f, 0.2, SR), SR)
+        paths.append(p)
+    paths.append(str(tmp_path / "missing.wav"))
+    out = decode_files_parallel(paths)
+    assert len(out) == 4
+    assert all(a is not None for a in out[:3])
+    assert out[3] is None
+    assert out[0].sample_rate == 44100  # resampled to decoder default

@@ -71,6 +71,33 @@ def main() -> None:
     audio_hours_per_hour = audio_seconds / elapsed  # ratio is unitless
     frames_per_sec = audio_seconds * (sr / 256) / elapsed
 
+    # secondary: batched pair alignment (BASELINE config 5): 8 pairs of
+    # 60 s energy series, xcorr + banded DTW
+    from sonido_sonar_tpu.parallel.pipeline import batched_pair_alignment, batched_pair_dtw
+    from sonido_sonar_tpu.ops.temporal import short_time_energy_cumsum
+
+    pairs = jnp.asarray(rng.standard_normal((8, sr * 60)).astype(np.float32) * 0.1)
+    e_src = short_time_energy_cumsum(pairs, 1024, 256)
+    e_cdn = jnp.roll(e_src, 13, axis=-1)
+    res_b = batched_pair_alignment(e_src, e_cdn, max_lag=e_src.shape[-1] // 2)
+    float(res_b["lag_frames"].sum())
+    t0 = time.perf_counter()
+    res_b = batched_pair_alignment(e_src, e_cdn, max_lag=e_src.shape[-1] // 2)
+    float(res_b["lag_frames"].sum())
+    t_pairs = time.perf_counter() - t0
+    dt_in = jnp.asarray(rng.standard_normal((8, 512, 12)).astype(np.float32))
+    res_d = batched_pair_dtw(dt_in, jnp.roll(dt_in, 3, axis=-2), band=64)
+    float(res_d["distance"].sum())
+    t0 = time.perf_counter()
+    res_d = batched_pair_dtw(dt_in, jnp.roll(dt_in, 3, axis=-2), band=64)
+    float(res_d["distance"].sum())
+    t_dtw = time.perf_counter() - t0
+    print(
+        f"[bench] batched pairs: 8x60s energy xcorr {t_pairs*1000:.1f} ms; "
+        f"8x512-frame banded DTW {t_dtw*1000:.1f} ms",
+        file=sys.stderr,
+    )
+
     # secondary: 60 s-maxlag alignment wall-clock (2 x 120 s streams)
     x1 = jnp.asarray(rng.standard_normal(sr * 120).astype(np.float32))
     x2 = jnp.roll(x1, sr // 2)

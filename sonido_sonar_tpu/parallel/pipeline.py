@@ -213,3 +213,45 @@ def run_stream(
         done = inflight.popleft()
         jax.block_until_ready(done)
         yield done
+
+
+@partial(jax.jit, static_argnames=("band",))
+def batched_pair_dtw(
+    query_feats: jnp.ndarray,
+    reference_feats: jnp.ndarray,
+    band: int,
+) -> Dict[str, jnp.ndarray]:
+    """Batched banded DTW over feature-sequence pairs [B, T, D].
+
+    vmaps the O(T*band) banded fill + backtrack across the pair axis;
+    returns per-pair normalized distance and the median interior path
+    displacement in frames (positive = reference delayed) — the batched
+    counterpart of the analyzer's DTW path for corpus-scale source/CDN
+    alignment (BASELINE config 5).
+    """
+    from sonido_sonar_tpu.ops.stats.dtw import _backtrack_banded, _fill_banded
+
+    n = query_feats.shape[1]
+    m = reference_feats.shape[1]
+
+    def one(q, r):
+        cost = _fill_banded(q, r, band, n, m)
+        qs, rs, cs, length = _backtrack_banded(cost, band, n, m)
+        raw = cost[n, m - n + band]
+        dist = raw / jnp.maximum(length, 1).astype(jnp.float32)
+        idx = jnp.arange(qs.shape[0])
+        valid = idx < length
+        interior = valid & (qs > 0) & (rs > 0) & (qs < n - 1) & (rs < m - 1)
+        disp = jnp.where(interior, (rs - qs).astype(jnp.float32), jnp.nan)
+        offset = jnp.nanmedian(disp)
+        offset = jnp.where(jnp.isnan(offset), 0.0, offset)
+        return dist, offset, length
+
+    dists, offsets, lengths = jax.vmap(one)(
+        query_feats.astype(jnp.float32), reference_feats.astype(jnp.float32)
+    )
+    return {
+        "distance": dists,
+        "offset_frames": offsets,
+        "path_length": lengths,
+    }

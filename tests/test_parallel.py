@@ -142,3 +142,19 @@ def test_run_stream_overlap():
     np.testing.assert_allclose(
         np.asarray(outs[0]["mfcc"]), np.asarray(direct["mfcc"]), atol=1e-5
     )
+
+
+def test_batched_pair_dtw():
+    from sonido_sonar_tpu.parallel.pipeline import batched_pair_dtw
+
+    rng = np.random.default_rng(6)
+    base = np.cumsum(rng.standard_normal((4, 140, 3), dtype=np.float32), axis=1)
+    shifts = [0, 5, 10, -7]
+    T = 100
+    q = np.stack([base[i, 20 : 20 + T] for i in range(4)])
+    r = np.stack([base[i, 20 + s : 20 + s + T] for i, s in enumerate(shifts)])
+    out = batched_pair_dtw(jnp.asarray(q), jnp.asarray(r), band=20)
+    got = np.asarray(out["offset_frames"])
+    # r[i] = q shifted by +s -> reference index leads -> offset = -s
+    np.testing.assert_allclose(got, [-s for s in shifts], atol=2)
+    assert (np.asarray(out["distance"]) >= 0).all()

@@ -20,7 +20,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from sonido_sonar_tpu.config.config import ContentAwareConfig, ContentType

@@ -22,7 +22,6 @@ Reference parity: algorithms/chroma/ —
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Dict, List, Tuple
 
 import jax

@@ -16,12 +16,10 @@ via interpret mode).
 
 from __future__ import annotations
 
-import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

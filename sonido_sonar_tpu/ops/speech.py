@@ -35,7 +35,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sonido_sonar_tpu.ops.filters import pre_emphasis
 from sonido_sonar_tpu.ops.pitch import PitchParams, yin_pitch

@@ -10,7 +10,7 @@ conditional entropy.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -41,10 +41,18 @@ class FeatureExtractorFactory:
     ):
         from sonido_sonar_tpu.extractors.music import MusicFeatureExtractor
         from sonido_sonar_tpu.extractors.speech import SpeechFeatureExtractor
+        from sonido_sonar_tpu.extractors.sports import (
+            MixedFeatureExtractor,
+            SportsFeatureExtractor,
+        )
 
         if not self.strict_reference_routing:
             if content_type == ContentType.MUSIC:
                 return MusicFeatureExtractor(feature_config)
+            if content_type == ContentType.SPORTS:
+                return SportsFeatureExtractor(feature_config)
+            if content_type == ContentType.MIXED:
+                return MixedFeatureExtractor(feature_config)
 
         if content_type == ContentType.NEWS:
             return SpeechFeatureExtractor(feature_config, is_news=True)

@@ -42,9 +42,10 @@ def _yin_dft_mats(w: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     its first half, and the truncated inverse producing r(tau), tau < h.
     """
     h = w // 2
-    n_fft = 1
-    while n_fft < w + h:
-        n_fft <<= 1
+    # exact transform length w + h: the DFT matmul needs no power-of-two
+    # size, and circular wraparound cannot occur for tau < h — 25% fewer
+    # columns than the next pow2
+    n_fft = w + h
     f_bins = n_fft // 2 + 1
     k = np.arange(f_bins, dtype=np.float64)[None, :]
 

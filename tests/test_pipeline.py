@@ -324,3 +324,40 @@ def test_decode_files_parallel(tmp_path):
     assert all(a is not None for a in out[:3])
     assert out[3] is None
     assert out[0].sample_rate == 44100  # resampled to decoder default
+
+
+def test_sports_and_mixed_extractors(speech_clip):
+    """Completed stubs: sports + mixed routes under non-strict routing."""
+    from sonido_sonar_tpu.extractors import MixedFeatureExtractor, SportsFeatureExtractor
+
+    fc = FeatureConfig(sample_rate=SR)
+    factory = FeatureExtractorFactory(strict_reference_routing=False)
+    sports = factory.create_extractor(ContentType.SPORTS, fc)
+    mixed = factory.create_extractor(ContentType.MIXED, fc)
+    assert isinstance(sports, SportsFeatureExtractor)
+    assert isinstance(mixed, MixedFeatureExtractor)
+    assert sports.get_feature_weights()["energy"] == 0.30
+    assert mixed.get_feature_weights()["chroma"] == 0.15
+
+    res = stft(jnp.asarray(speech_clip), fc.window_size, fc.hop_size, sample_rate=SR)
+    sf = sports.extract_features(res, jnp.asarray(speech_clip), SR)
+    assert sf.energy_features is not None
+    assert "excitement_variance" in sf.metadata
+    mf = mixed.extract_features(res, jnp.asarray(speech_clip), SR)
+    assert mf.chroma_features is not None
+    assert mf.speech_features is not None
+    # both compare cleanly through the comparator
+    from sonido_sonar_tpu.fingerprint.generator import AudioFingerprint
+    import time as _time
+
+    def wrap(feats, ct):
+        return AudioFingerprint(
+            id=f"t{ct.value}", stream_url="", content_type=ct,
+            timestamp=_time.time(), duration=4.0, sample_rate=SR,
+            hop_size=fc.hop_size, channels=1, features=feats, metadata={},
+        )
+
+    r = FingerprintComparator().compare(
+        wrap(sf, ContentType.SPORTS), wrap(sf, ContentType.SPORTS)
+    )
+    assert r.overall_similarity > 0.9

@@ -177,6 +177,8 @@ class MusicFeatureExtractor:
             silence_ratio=jnp.mean(silence.astype(jnp.float32), axis=-1),
             onset_density=onset_count.astype(jnp.float32) / duration,
             onset_mask=onset_mask,
+            # the reference hardcodes 0.01 s per onset (music.go:418-424,
+            # its own TODO) — exact parity
             attack_time=jnp.where(onset_mask, 0.01, 0.0),
             envelope_shape=T.rms_envelope(pcm, 512, 256),
         )

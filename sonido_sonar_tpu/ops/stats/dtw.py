@@ -174,7 +174,7 @@ def _fill_cost_matrix(
         new_row = jnp.concatenate([jnp.full((1,), big), d])
         return new_row, new_row
 
-    _, rows = jax.lax.scan(row_step, row0, local)
+    _, rows = jax.lax.scan(row_step, row0, local, unroll=8)
     cost = jnp.concatenate([row0[None, :], rows], axis=0)
     return cost
 
@@ -371,7 +371,7 @@ def _fill_banded(query: jnp.ndarray, reference: jnp.ndarray, band: int,
         d = jnp.where(valid, d, big)
         return d, d
 
-    _, rows = jax.lax.scan(row_step, row0, jnp.arange(1, n + 1))
+    _, rows = jax.lax.scan(row_step, row0, jnp.arange(1, n + 1), unroll=8)
     cost_band = jnp.concatenate([row0[None, :], rows], axis=0)
     return cost_band
 

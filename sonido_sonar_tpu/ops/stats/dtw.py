@@ -334,9 +334,12 @@ def _fill_banded(query: jnp.ndarray, reference: jnp.ndarray, band: int,
     d_feat = query.shape[-1]
 
     # pad reference rows so dynamic_slice windows never clip:
-    # ref_pad[t] = reference[t - (band+1)] for valid t
+    # ref_pad[t] = reference[t - (band+1)] for valid t. The slice start
+    # runs up to n, so the tail pad must absorb n - m extra rows when
+    # the query is longer (otherwise dynamic_slice clamps the start and
+    # silently shifts the window for rows i > m + 1).
     pad_lo = band + 1
-    pad_hi = band + 1
+    pad_hi = band + 1 + max(0, n - m)
     ref_pad = jnp.pad(reference, ((pad_lo, pad_hi), (0, 0)))
     ref_sq = jnp.sum(ref_pad * ref_pad, axis=-1)
 
@@ -447,10 +450,21 @@ def dtw_align_banded(
         raise ValueError(
             f"|N-M| = {abs(n-m)} exceeds band {constraint_band}: no path"
         )
-    cost_band = _fill_banded(
-        query.astype(jnp.float32), reference.astype(jnp.float32),
-        constraint_band, n, m,
+    from sonido_sonar_tpu.ops.stats.pallas_dtw import (
+        fill_banded_pallas,
+        pallas_dtw_available,
     )
+
+    if pallas_dtw_available():
+        cost_band = fill_banded_pallas(
+            query.astype(jnp.float32), reference.astype(jnp.float32),
+            constraint_band, n, m,
+        )
+    else:
+        cost_band = _fill_banded(
+            query.astype(jnp.float32), reference.astype(jnp.float32),
+            constraint_band, n, m,
+        )
     qs, rs, cs, length = _backtrack_banded(cost_band, constraint_band, n, m)
     raw = cost_band[n, m - n + constraint_band]
     distance = raw / jnp.maximum(length, 1).astype(jnp.float32)

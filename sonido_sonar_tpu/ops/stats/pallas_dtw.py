@@ -1,0 +1,187 @@
+"""Fused Pallas TPU kernel for the banded DTW cost fill.
+
+Reference parity: algorithms/stats/dtw.go:62-135 (symmetric2 fill with a
+Sakoe-Chiba band). Numerically equivalent to `dtw._fill_banded` (the
+lax.scan formulation); this kernel exists purely for speed: the scan
+spends ~15 us of dispatch overhead per row, so a 60 s chroma alignment
+(10k rows) costs ~150 ms even though the math is ~3M cells. Here the
+whole DP runs inside one kernel and the carried row never leaves VMEM.
+
+Per grid step (one 32-row chunk of the DP):
+1. Local band distances on the MXU: sequences are pre-augmented so one
+   matmul yields squared euclidean distances directly —
+   QA = [-2q, |q|^2, 1], RA = [r, 1, |r|^2], QA @ RA^T =
+   |q|^2 + |r|^2 - 2 q.r. The chunk needs reference rows
+   [c*32, c*32 + W + 127]; they are fetched as 32-row tiles via offset
+   BlockSpecs over the same array (overlapping windows).
+2. Band diagonals l[r, k] = M[r, r + k] via one per-row strided rotate
+   (pltpu.roll stride=1) + a static slice. Mosaic's strided rotate
+   only turns toward higher lanes with per-row amounts <= vreg width,
+   so the whole DP runs in REVERSED lane order (lane p holds band
+   column k = lanes-1-p) and the reference tiles are fetched from a
+   lane-reversed copy of RA; then the required rotate amounts are just
+   r in [0, 31]. The output is un-reversed outside the kernel.
+3. The DP recurrence, rows unrolled on-core: the band window lives in
+   vector lanes (W = 2*band+1 padded to 128), and the horizontal
+   min-plus scan D[k] = min(a[k], D[k-1] + l[k]) runs as a
+   Hillis-Steele doubling scan over the (min, +) semiring
+   (identity element (c, a) = (0, BIG)).
+
+Layout: cost_band[i, k] = cost[i, i - band + k]. Memory is O(N * W),
+never O(N * M).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = float(3.4e38) / 4  # finite 'inf', matches dtw._fill_banded
+
+_CHUNK = 32  # DP rows per grid step (statically unrolled in-kernel)
+
+
+def pallas_dtw_available() -> bool:
+    """The compiled kernel needs a real TPU backend (Mosaic)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _fill_kernel(band, lanes, n, m, q_ref, *refs):
+    """Lane p stores band column k = lanes-1-p (reversed orientation)."""
+    *r_tiles, out_ref, prev_ref = refs
+    chunk_idx = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    big = jnp.float32(_BIG)
+
+    @pl.when(chunk_idx == 0)
+    def _init():
+        # row 0 of the banded storage: cost[0, j] = 0 at j == 0 (k == band)
+        prev_ref[...] = jnp.where(lane == lanes - 1 - band, 0.0, big)
+
+    # ---- local band distances for all CHUNK rows (one MXU matmul) ----
+    # win_rev[c'] = reference_pad[chunk*32 + (W+127) - c']  (reversed)
+    win_rev = jnp.concatenate([t[0] for t in r_tiles], axis=0)
+    m_rev = jax.lax.dot_general(
+        q_ref[0], win_rev, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [CHUNK, lanes+128]: m_rev[r, c'] = |q_i - ref_pad[c*32+wl-1-c']|^2
+    # rotate row r right by r, then drop the first 128 lanes:
+    # l2[r, p] = m_rev[r, p+128-r] = |q_i - ref_pad[c*32 + r + k]|^2
+    # with k = lanes-1-p — exactly the band diagonal, reversed.
+    l2 = pltpu.roll(m_rev, shift=0, axis=1, stride=1, stride_axis=0)
+    l2 = l2[:, 128:]
+    l_all = jnp.sqrt(jnp.maximum(l2, 0.0))
+    # validity: DP row i = c*32 + r + 1, column j = i - band + k must be
+    # in [1, m]; lanes beyond the band width W are dead.
+    row = chunk_idx * _CHUNK + jax.lax.broadcasted_iota(
+        jnp.int32, (_CHUNK, lanes), 0
+    )
+    kk = (lanes - 1) - jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, lanes), 1)
+    j_col = row + 1 - band + kk
+    valid = (j_col >= 1) & (j_col <= m) & (kk < 2 * band + 1)
+    l_all = jnp.where(valid, l_all, big)
+
+    # ---- DP rows, unrolled (reversed lanes: k-1 lives at p+1) ----
+    prev = prev_ref[...]
+    n_rounds = int(math.log2(lanes))
+    for r in range(_CHUNK):
+        l = l_all[r : r + 1, :]
+        # up = cost[i-1, j] (band col k+1) sits one lane to the LEFT
+        up = pltpu.roll(prev, shift=1, axis=1)
+        up = jnp.where(lane == 0, big, up)
+        v = jnp.minimum(up, prev)  # prev itself is diag = cost[i-1, j-1]
+        a = jnp.minimum(l + v, big)
+        # inclusive min-plus scan D[k] = min(a[k], D[k-1] + l[k]) runs
+        # toward DECREASING p; predecessor k-s sits at p+s.
+        acc_a, acc_c = a, jnp.minimum(l, big)
+        for s_exp in range(n_rounds):
+            s = 1 << s_exp
+            sh_a = jnp.where(
+                lane >= lanes - s, big, pltpu.roll(acc_a, shift=lanes - s, axis=1)
+            )
+            sh_c = jnp.where(
+                lane >= lanes - s, 0.0, pltpu.roll(acc_c, shift=lanes - s, axis=1)
+            )
+            acc_a = jnp.minimum(sh_a + acc_c, acc_a)
+            acc_c = sh_c + acc_c
+        d = jnp.minimum(acc_a, big)
+        out_ref[0, r, :] = d.reshape(lanes)
+        prev = d
+    prev_ref[...] = prev
+
+
+@partial(jax.jit, static_argnames=("band", "n", "m", "interpret"))
+def fill_banded_pallas_batch(
+    query: jnp.ndarray, reference: jnp.ndarray, band: int, n: int, m: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched banded symmetric2 cost fill: [B, n, d] x [B, m, d] ->
+    cost_band [B, n+1, 2*band+1]; cost_band[b, i, k] = cost[i, i-band+k].
+    Drop-in replacement for vmap(dtw._fill_banded)."""
+    w = 2 * band + 1
+    lanes = max(128, ((w + 127) // 128) * 128)
+    wl = lanes + 128                      # matmul window rows per chunk
+    tiles = wl // _CHUNK
+    b = query.shape[0]
+    q = query.astype(jnp.float32)
+    r = reference.astype(jnp.float32)
+    d_feat = q.shape[-1]
+    dpad = ((d_feat + 2 + 127) // 128) * 128
+    n_pad = ((n + _CHUNK - 1) // _CHUNK) * _CHUNK
+
+    # augmented operands: QA @ RA^T = |q|^2 + |r|^2 - 2 q.r
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    ones_q = jnp.ones_like(q_sq)
+    qa = jnp.concatenate([-2.0 * q, q_sq, ones_q], axis=-1)
+    qa = jnp.pad(qa, ((0, 0), (0, n_pad - n), (0, dpad - d_feat - 2)))
+
+    # RA row t = ref_pad[t] = reference[t - band]; the kernel reads it
+    # in reversed row order (see module docstring), so flip here (XLA).
+    r_sq = jnp.sum(r * r, axis=-1, keepdims=True)
+    ones_r = jnp.ones_like(r_sq)
+    ra = jnp.concatenate([r, ones_r, r_sq], axis=-1)
+    ref_rows = n_pad + wl
+    ra = jnp.pad(
+        ra, ((0, 0), (band, ref_rows - band - m), (0, dpad - d_feat - 2))
+    )
+    ra_rev = ra[:, ::-1, :]
+    # chunk c needs ra rows [c*32, c*32+wl-1] reversed = ra_rev rows
+    # starting at ref_rows - wl - c*32 -> block index n_pad/32 - c
+    base = n_pad // _CHUNK
+    ra_spec = lambda s: pl.BlockSpec(
+        (1, _CHUNK, dpad), lambda bi, ci, s=s: (bi, base - ci + s, 0)
+    )
+    out = pl.pallas_call(
+        partial(_fill_kernel, band, lanes, n, m),
+        grid=(b, n_pad // _CHUNK),
+        in_specs=[pl.BlockSpec((1, _CHUNK, dpad), lambda bi, ci: (bi, ci, 0))]
+        + [ra_spec(s) for s in range(tiles)],
+        out_specs=pl.BlockSpec((1, _CHUNK, lanes), lambda bi, ci: (bi, ci, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, lanes), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, lanes), jnp.float32)],
+        interpret=interpret,
+    )(qa, *([ra_rev] * tiles))
+
+    lane = jnp.arange(w)
+    row0 = jnp.where(lane == band, 0.0, jnp.float32(_BIG))
+    row0 = jnp.broadcast_to(row0, (b, 1, w))
+    return jnp.concatenate([row0, out[:, :n, ::-1][:, :, :w]], axis=1)
+
+
+def fill_banded_pallas(
+    query: jnp.ndarray, reference: jnp.ndarray, band: int, n: int, m: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-pair wrapper: [n, d] x [m, d] -> cost_band [n+1, 2*band+1]."""
+    return fill_banded_pallas_batch(
+        query[None], reference[None], band, n, m, interpret=interpret
+    )[0]

@@ -223,19 +223,36 @@ def batched_pair_dtw(
 ) -> Dict[str, jnp.ndarray]:
     """Batched banded DTW over feature-sequence pairs [B, T, D].
 
-    vmaps the O(T*band) banded fill + backtrack across the pair axis;
-    returns per-pair normalized distance and the median interior path
-    displacement in frames (positive = reference delayed) — the batched
-    counterpart of the analyzer's DTW path for corpus-scale source/CDN
-    alignment (BASELINE config 5).
+    Runs the fused Pallas banded fill across the pair axis (one kernel,
+    batch as the outer grid dimension) when a TPU backend is present,
+    falling back to a vmapped lax.scan fill elsewhere; the backtrack is
+    vmapped either way. Returns per-pair normalized distance and the
+    median interior path displacement in frames (positive = reference
+    delayed) — the batched counterpart of the analyzer's DTW path for
+    corpus-scale source/CDN alignment (BASELINE config 5).
     """
     from sonido_sonar_tpu.ops.stats.dtw import _backtrack_banded, _fill_banded
+    from sonido_sonar_tpu.ops.stats.pallas_dtw import (
+        fill_banded_pallas_batch,
+        pallas_dtw_available,
+    )
 
     n = query_feats.shape[1]
     m = reference_feats.shape[1]
 
-    def one(q, r):
-        cost = _fill_banded(q, r, band, n, m)
+    if pallas_dtw_available():
+        costs = fill_banded_pallas_batch(
+            query_feats.astype(jnp.float32),
+            reference_feats.astype(jnp.float32),
+            band, n, m,
+        )
+    else:
+        costs = jax.vmap(lambda q, r: _fill_banded(q, r, band, n, m))(
+            query_feats.astype(jnp.float32),
+            reference_feats.astype(jnp.float32),
+        )
+
+    def one(cost):
         qs, rs, cs, length = _backtrack_banded(cost, band, n, m)
         raw = cost[n, m - n + band]
         dist = raw / jnp.maximum(length, 1).astype(jnp.float32)
@@ -247,9 +264,7 @@ def batched_pair_dtw(
         offset = jnp.where(jnp.isnan(offset), 0.0, offset)
         return dist, offset, length
 
-    dists, offsets, lengths = jax.vmap(one)(
-        query_feats.astype(jnp.float32), reference_feats.astype(jnp.float32)
-    )
+    dists, offsets, lengths = jax.vmap(one)(costs)
     return {
         "distance": dists,
         "offset_frames": offsets,

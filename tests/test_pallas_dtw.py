@@ -1,0 +1,139 @@
+"""Parity tests for the fused Pallas banded-DTW fill.
+
+The kernel (ops/stats/pallas_dtw.py) must be numerically equivalent to
+the lax.scan fill (dtw._fill_banded) and, transitively, to the dense
+fill (dtw._fill_cost_matrix) restricted to the band. On CPU these run
+the kernel in interpreter mode; on a real TPU the same code path is
+exercised compiled (tests remain green either way).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonido_sonar_tpu.ops.stats.dtw import (
+    _fill_banded,
+    _fill_cost_matrix,
+    dtw_align,
+    dtw_align_banded,
+    local_distance_matrix,
+)
+from sonido_sonar_tpu.ops.stats.pallas_dtw import (
+    fill_banded_pallas,
+    fill_banded_pallas_batch,
+)
+
+_BIG_CUT = 1e37
+
+
+def _rand(rng, n, m, d):
+    q = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(m, d)), jnp.float32)
+    return q, r
+
+
+@pytest.mark.parametrize(
+    "n,m,band,d",
+    [
+        (200, 200, 20, 12),
+        (300, 290, 15, 5),   # query longer than reference
+        (290, 300, 15, 5),   # reference longer than query
+        (97, 100, 8, 1),     # scalar features, n not a chunk multiple
+        (513, 500, 64, 13),  # band width pads past one lane tile
+        (400, 400, 100, 12), # wide band (lanes = 256)
+    ],
+)
+def test_pallas_fill_matches_lax_fill(n, m, band, d):
+    rng = np.random.default_rng(7)
+    q, r = _rand(rng, n, m, d)
+    ref = np.asarray(_fill_banded(q, r, band, n, m))
+    got = np.asarray(fill_banded_pallas(q, r, band, n, m, interpret=True))
+    finite = ref < _BIG_CUT
+    assert np.array_equal(ref >= _BIG_CUT, got >= _BIG_CUT)
+    rel = np.abs(ref - got)[finite].max() / np.abs(ref[finite]).max()
+    assert rel < 1e-5
+
+
+def test_pallas_fill_matches_dense_fill():
+    """End-to-end ground truth: the banded kernel agrees with the dense
+    cost matrix on every in-band cell (including n != m, which once
+    exposed a window-clamping bug in the lax banded fill)."""
+    rng = np.random.default_rng(3)
+    n, m, band, d = 150, 143, 12, 6
+    q, r = _rand(rng, n, m, d)
+    dense = np.asarray(
+        _fill_cost_matrix(local_distance_matrix(q, r), "symmetric2", band)
+    )
+    got = np.asarray(fill_banded_pallas(q, r, band, n, m, interpret=True))
+    w = 2 * band + 1
+    for i in range(n + 1):
+        for k in range(w):
+            j = i - band + k
+            if 0 <= j <= m and dense[i, j] < _BIG_CUT:
+                assert abs(dense[i, j] - got[i, k]) <= 1e-3 + 1e-5 * abs(
+                    dense[i, j]
+                ), (i, k)
+
+
+def test_lax_banded_fill_query_longer_regression():
+    """dtw._fill_banded once clamped its reference window for rows
+    i > m + 1 when n > m (dynamic_slice saturation), silently shifting
+    local costs. Locked against the dense fill."""
+    rng = np.random.default_rng(11)
+    n, m, band, d = 120, 100, 25, 4
+    q, r = _rand(rng, n, m, d)
+    dense = np.asarray(
+        _fill_cost_matrix(local_distance_matrix(q, r), "symmetric2", band)
+    )
+    banded = np.asarray(_fill_banded(q, r, band, n, m))
+    w = 2 * band + 1
+    for i in range(max(0, m - 2), n + 1):  # the once-broken tail rows
+        for k in range(w):
+            j = i - band + k
+            if 0 <= j <= m and dense[i, j] < _BIG_CUT:
+                assert abs(dense[i, j] - banded[i, k]) <= 1e-3 + 1e-5 * abs(
+                    dense[i, j]
+                ), (i, k)
+
+
+def test_pallas_fill_batch():
+    rng = np.random.default_rng(5)
+    bsz, n, m, band, d = 3, 240, 240, 30, 12
+    q = jnp.asarray(rng.normal(size=(bsz, n, d)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(bsz, m, d)), jnp.float32)
+    got = np.asarray(
+        fill_banded_pallas_batch(q, r, band, n, m, interpret=True)
+    )
+    for b in range(bsz):
+        ref = np.asarray(_fill_banded(q[b], r[b], band, n, m))
+        finite = ref < _BIG_CUT
+        rel = np.abs(ref - got[b])[finite].max() / np.abs(ref[finite]).max()
+        assert rel < 1e-5
+
+
+def test_banded_alignment_distance_matches_dense():
+    """dtw_align_banded (whichever fill backend it picks) agrees with
+    the dense banded alignment on distance and path endpoints."""
+    rng = np.random.default_rng(9)
+    n = m = 180
+    base = np.cumsum(rng.normal(size=(n + 4, 8)), axis=0).astype(np.float32)
+    q = jnp.asarray(base[:n])
+    r = jnp.asarray(base[4 : 4 + m])
+    band = 16
+    dense = dtw_align(q, r, constraint_band=band)
+    banded = dtw_align_banded(q, r, band)
+    # random-walk magnitudes stress the |q|^2+|r|^2-2qr identity, and a
+    # near-tie in the backtrack can legally flip a step — compare at the
+    # accumulation-noise level, not bitwise
+    np.testing.assert_allclose(
+        float(dense.raw_distance), float(banded.raw_distance), rtol=2e-3
+    )
+    assert abs(int(dense.path_length) - int(banded.path_length)) <= 2
+    # endpoints are invariant
+    pl_d, pl_b = int(dense.path_length), int(banded.path_length)
+    assert int(dense.path_qidx[0]) == int(banded.path_qidx[0]) == 0
+    assert (
+        int(dense.path_qidx[pl_d - 1])
+        == int(banded.path_qidx[pl_b - 1])
+        == n - 1
+    )

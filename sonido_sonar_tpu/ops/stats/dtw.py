@@ -432,6 +432,34 @@ def _backtrack_banded(cost_band: jnp.ndarray, band: int, n: int, m: int):
     return qs_f, rs_f, cs_f, length
 
 
+@partial(jax.jit, static_argnames=("band", "n", "m"))
+def _banded_align_device(query, reference, band: int, n: int, m: int):
+    """Whole banded alignment (fill + backtrack + scoring) as ONE jitted
+    program so a single dispatch reaches the device. Picks the Pallas
+    kernels (ops/stats/pallas_dtw.py, pallas_backtrack.py) at trace
+    time when a TPU backend is present, lax formulations otherwise."""
+    from sonido_sonar_tpu.ops.stats.pallas_backtrack import (
+        backtrack_banded_pallas,
+        pallas_backtrack_available,
+    )
+    from sonido_sonar_tpu.ops.stats.pallas_dtw import (
+        fill_banded_pallas,
+        pallas_dtw_available,
+    )
+
+    if pallas_dtw_available():
+        cost_band = fill_banded_pallas(query, reference, band, n, m)
+    else:
+        cost_band = _fill_banded(query, reference, band, n, m)
+    if pallas_backtrack_available():
+        qs, rs, cs, length = backtrack_banded_pallas(cost_band, band, n, m)
+    else:
+        qs, rs, cs, length = _backtrack_banded(cost_band, band, n, m)
+    raw = cost_band[n, m - n + band]
+    distance = raw / jnp.maximum(length, 1).astype(jnp.float32)
+    return cost_band, qs, rs, cs, length, raw, distance
+
+
 def dtw_align_banded(
     query: jnp.ndarray,
     reference: jnp.ndarray,
@@ -450,24 +478,10 @@ def dtw_align_banded(
         raise ValueError(
             f"|N-M| = {abs(n-m)} exceeds band {constraint_band}: no path"
         )
-    from sonido_sonar_tpu.ops.stats.pallas_dtw import (
-        fill_banded_pallas,
-        pallas_dtw_available,
+    cost_band, qs, rs, cs, length, raw, distance = _banded_align_device(
+        query.astype(jnp.float32), reference.astype(jnp.float32),
+        constraint_band, n, m,
     )
-
-    if pallas_dtw_available():
-        cost_band = fill_banded_pallas(
-            query.astype(jnp.float32), reference.astype(jnp.float32),
-            constraint_band, n, m,
-        )
-    else:
-        cost_band = _fill_banded(
-            query.astype(jnp.float32), reference.astype(jnp.float32),
-            constraint_band, n, m,
-        )
-    qs, rs, cs, length = _backtrack_banded(cost_band, constraint_band, n, m)
-    raw = cost_band[n, m - n + constraint_band]
-    distance = raw / jnp.maximum(length, 1).astype(jnp.float32)
     return DTWResult(
         distance=distance,
         raw_distance=raw,

@@ -232,6 +232,10 @@ def batched_pair_dtw(
     corpus-scale source/CDN alignment (BASELINE config 5).
     """
     from sonido_sonar_tpu.ops.stats.dtw import _backtrack_banded, _fill_banded
+    from sonido_sonar_tpu.ops.stats.pallas_backtrack import (
+        backtrack_banded_pallas_batch,
+        pallas_backtrack_available,
+    )
     from sonido_sonar_tpu.ops.stats.pallas_dtw import (
         fill_banded_pallas_batch,
         pallas_dtw_available,
@@ -252,8 +256,16 @@ def batched_pair_dtw(
             reference_feats.astype(jnp.float32),
         )
 
-    def one(cost):
-        qs, rs, cs, length = _backtrack_banded(cost, band, n, m)
+    if pallas_backtrack_available():
+        qs_b, rs_b, _, lengths = backtrack_banded_pallas_batch(
+            costs, band, n, m
+        )
+    else:
+        qs_b, rs_b, _, lengths = jax.vmap(
+            lambda c: _backtrack_banded(c, band, n, m)
+        )(costs)
+
+    def one(cost, qs, rs, length):
         raw = cost[n, m - n + band]
         dist = raw / jnp.maximum(length, 1).astype(jnp.float32)
         idx = jnp.arange(qs.shape[0])
@@ -264,7 +276,7 @@ def batched_pair_dtw(
         offset = jnp.where(jnp.isnan(offset), 0.0, offset)
         return dist, offset, length
 
-    dists, offsets, lengths = jax.vmap(one)(costs)
+    dists, offsets, lengths = jax.vmap(one)(costs, qs_b, rs_b, lengths)
     return {
         "distance": dists,
         "offset_frames": offsets,

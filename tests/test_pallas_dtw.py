@@ -137,3 +137,54 @@ def test_banded_alignment_distance_matches_dense():
         == int(banded.path_qidx[pl_b - 1])
         == n - 1
     )
+
+
+def test_pallas_backtrack_matches_lax():
+    """The SMEM walker must reproduce dtw._backtrack_banded bit-for-bit
+    (indices and length; local costs to float tolerance)."""
+    from sonido_sonar_tpu.ops.stats.dtw import _backtrack_banded
+    from sonido_sonar_tpu.ops.stats.pallas_backtrack import (
+        backtrack_banded_pallas,
+    )
+
+    rng = np.random.default_rng(13)
+    for n, m, band, d in [(200, 200, 20, 12), (300, 290, 15, 5),
+                          (290, 300, 15, 5), (97, 100, 8, 1)]:
+        q = jnp.asarray(
+            np.cumsum(rng.normal(size=(n, d)), 0) * 0.1, jnp.float32
+        )
+        r = jnp.asarray(
+            np.cumsum(rng.normal(size=(m, d)), 0) * 0.1, jnp.float32
+        )
+        cost = _fill_banded(q, r, band, n, m)
+        qs0, rs0, cs0, l0 = _backtrack_banded(cost, band, n, m)
+        qs1, rs1, cs1, l1 = backtrack_banded_pallas(
+            cost, band, n, m, interpret=True
+        )
+        assert int(l0) == int(l1)
+        np.testing.assert_array_equal(np.asarray(qs0), np.asarray(qs1))
+        np.testing.assert_array_equal(np.asarray(rs0), np.asarray(rs1))
+        np.testing.assert_allclose(
+            np.asarray(cs0), np.asarray(cs1), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_pallas_backtrack_batch():
+    from sonido_sonar_tpu.ops.stats.dtw import _backtrack_banded
+    from sonido_sonar_tpu.ops.stats.pallas_backtrack import (
+        backtrack_banded_pallas_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    bsz, n, m, band, d = 3, 240, 240, 30, 12
+    q = jnp.asarray(rng.normal(size=(bsz, n, d)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(bsz, m, d)), jnp.float32)
+    costs = fill_banded_pallas_batch(q, r, band, n, m, interpret=True)
+    qs, rs, cs, lengths = backtrack_banded_pallas_batch(
+        costs, band, n, m, interpret=True
+    )
+    for b in range(bsz):
+        qs0, rs0, cs0, l0 = _backtrack_banded(costs[b], band, n, m)
+        assert int(l0) == int(lengths[b])
+        np.testing.assert_array_equal(np.asarray(qs0), np.asarray(qs[b]))
+        np.testing.assert_array_equal(np.asarray(rs0), np.asarray(rs[b]))

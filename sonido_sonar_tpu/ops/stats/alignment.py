@@ -259,7 +259,16 @@ class AlignmentAnalyzer:
         unconditionally once it falls through the 0.7 gate; we take the
         offset from whichever path is more confident (the blended
         confidence/similarity weights are unchanged), so a sound
-        correlation peak is not overridden by a degenerate DTW path."""
+        correlation peak is not overridden by a degenerate DTW path.
+        For the winner choice the DTW confidence is additionally scaled
+        by sqrt(offset consistency) — the fraction of interior path
+        displacements within 5 frames of their median. DTW cost scoring
+        is blind to whether the path expresses ONE coherent shift: on a
+        large offset the cheapest warp often meanders (displacement IQR
+        of hundreds of frames) yet still scores 0.8+ confidence, which
+        used to out-vote a correct correlation peak whose confidence had
+        sagged with the shrinking overlap. Reported fields keep the
+        reference's verbatim weighting."""
         corr_res = self._align_xcorr(query, reference, sr)
         if corr_res.confidence > 0.7:
             return corr_res
@@ -267,7 +276,10 @@ class AlignmentAnalyzer:
             dtw_res = self._align_dtw(query, reference, sr)
         except Exception:
             return corr_res
-        winner = dtw_res if dtw_res.confidence >= corr_res.confidence else corr_res
+        eff_dtw_conf = dtw_res.confidence * float(
+            np.sqrt(_offset_consistency(dtw_res.dtw_result))
+        )
+        winner = dtw_res if eff_dtw_conf >= corr_res.confidence else corr_res
         return AlignmentResult(
             method="hybrid",
             offset=winner.offset,
@@ -463,6 +475,30 @@ def _path_smoothness(qi: np.ndarray, ri: np.ndarray) -> float:
     dr = np.diff(ri)
     changes = int(((dq[1:] != dq[:-1]) | (dr[1:] != dr[:-1])).sum())
     return max(0.0, 1.0 - changes / (len(qi) - 1))
+
+
+def _offset_consistency(dtw: Optional[DTWResult], tol: int = 5) -> float:
+    """Fraction of interior path points whose displacement (ri - qi)
+    lies within `tol` frames of the median displacement — 1.0 when the
+    path expresses one coherent shift, ~0 when it meanders. Used by the
+    hybrid to discount confidently-wrong DTW offsets (see
+    _align_hybrid's deviation note)."""
+    if dtw is None:
+        return 0.0
+    L = int(dtw.path_length)
+    if L < 3:
+        return 0.0
+    qi = np.asarray(dtw.path_qidx)[:L]
+    ri = np.asarray(dtw.path_ridx)[:L]
+    interior = (
+        (qi > 0) & (ri > 0)
+        & (qi < dtw.query_length - 1) & (ri < dtw.ref_length - 1)
+    )
+    if not interior.any():
+        return 0.0
+    disp = (ri - qi)[interior]
+    med = np.median(disp)
+    return float(np.mean(np.abs(disp - med) <= tol))
 
 
 def path_stability(qi: np.ndarray, ri: np.ndarray) -> float:

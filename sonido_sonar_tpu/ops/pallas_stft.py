@@ -77,8 +77,17 @@ def stft_magnitude_pallas(
     sig = sig.reshape(b * row_stride)
 
     m_dft = jnp.asarray(_windowed_dft_matrix(window_type, window_size))  # [W, 2F]
+    # bf16x3 split of the DFT basis (precomputed): Mosaic only lowers
+    # DEFAULT/HIGHEST dot precision in-kernel, and HIGHEST (6 bf16
+    # passes) costs ~2x what the STFT needs. hi + lo carries ~16
+    # mantissa bits of the basis; with the frames split likewise the
+    # three-pass product (f_hi d_hi + f_hi d_lo + f_lo d_hi) matches
+    # Precision.HIGH semantics (~1e-5 relative, validated on-chip in
+    # tests/test_pallas_stft.py).
+    m_hi = m_dft.astype(jnp.bfloat16)
+    m_lo = (m_dft - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    def kernel(sig_ref, dft_ref, out_ref, sig_vmem, sem):
+    def kernel(sig_ref, dft_hi_ref, dft_lo_ref, out_ref, sig_vmem, sem):
         bi = pl.program_id(0)  # batch row
         i = pl.program_id(1)   # tile index
         start = bi * row_stride + i * tile * hop_size
@@ -104,9 +113,13 @@ def stft_magnitude_pallas(
         stacked = jnp.stack(parts, axis=1)  # [per, k, W]
         frames = stacked.reshape(tile, window_size)
 
-        reim = jnp.dot(
-            frames, dft_ref[:], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        f_hi = frames.astype(jnp.bfloat16)
+        f_lo = (frames - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        d_hi = dft_hi_ref[:]
+        reim = (
+            jnp.dot(f_hi, d_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(f_hi, dft_lo_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(f_lo, d_hi, preferred_element_type=jnp.float32)
         )
         re = reim[:, :f_bins]
         im = reim[:, f_bins:]
@@ -130,6 +143,11 @@ def stft_magnitude_pallas(
                 lambda bi, ti: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (window_size, 2 * f_bins),
+                lambda bi, ti: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, tile, f_bins),
@@ -142,7 +160,7 @@ def stft_magnitude_pallas(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(sig, m_dft)
+    )(sig, m_hi, m_lo)
     return out[:, :t, :]
 
 

@@ -117,11 +117,11 @@ def _yin_difference(frames: jnp.ndarray) -> jnp.ndarray:
         f_bins = n_fft // 2 + 1
         fx = jnp.matmul(
             x, jnp.asarray(m_x), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
         ff = jnp.matmul(
             first, jnp.asarray(m_first), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
         rex, imx = fx[..., :f_bins], fx[..., f_bins:]
         ref, imf = ff[..., :f_bins], ff[..., f_bins:]
@@ -131,7 +131,7 @@ def _yin_difference(frames: jnp.ndarray) -> jnp.ndarray:
         cross = jnp.concatenate([re, im], axis=-1)
         r = jnp.matmul(
             cross, jnp.asarray(m_inv), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
     else:
         n_fft = 1

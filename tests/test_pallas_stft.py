@@ -49,3 +49,23 @@ def test_cumsum_feature_parity():
     z_b = np.asarray(zcr_from_signal(x, 1024, 256, SR))
     # the cumsum variant may count one extra boundary crossing per frame
     assert np.abs(z_a - z_b).max() <= SR / 1024 + 1e-3
+
+
+def test_bf16x3_dft_precision_on_tpu():
+    """The kernel's three-pass bf16 DFT product must stay within ~1e-5
+    of the float32 reference STFT. Only meaningful on a real TPU (CPU
+    interpret mode computes in full float32); skipped elsewhere."""
+    import jax
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a TPU backend (MXU bf16 passes)")
+    from sonido_sonar_tpu.config.config import WindowType
+    from sonido_sonar_tpu.ops.pallas_stft import stft_magnitude_pallas
+    from sonido_sonar_tpu.ops.stft import stft
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 44100)).astype(np.float32))
+    mag_k = np.asarray(stft_magnitude_pallas(x, 1024, 256, WindowType.HANN))
+    mag_r = np.asarray(stft(x, 1024, 256, WindowType.HANN, 44100).magnitude)
+    assert np.abs(mag_k - mag_r).max() / mag_r.max() < 1e-5

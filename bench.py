@@ -30,7 +30,7 @@ def main() -> None:
 
     sr = 44100
     clip_seconds = 30
-    batch = 32  # 32 x 30 s = 16 min of audio per step
+    batch = 128  # 128 x 30 s = 64 min of audio per step
     n = sr * clip_seconds
 
     rng = np.random.default_rng(0)

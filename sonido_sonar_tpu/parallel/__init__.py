@@ -17,6 +17,9 @@ from sonido_sonar_tpu.parallel.mesh import (  # noqa: F401
 from sonido_sonar_tpu.parallel.pipeline import (  # noqa: F401
     BatchedFingerprintPipeline,
     batched_fingerprint_features,
+    batched_pair_alignment,
+    batched_pair_dtw,
+    batched_refine_offsets,
 )
 from sonido_sonar_tpu.parallel.matcher import (  # noqa: F401
     fingerprint_matrix,

@@ -282,3 +282,62 @@ def batched_pair_dtw(
         "offset_frames": offsets,
         "path_length": lengths,
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sample_rate", "hop_size", "search_hops", "max_offset_samples"),
+)
+def batched_refine_offsets(
+    query_pcm: jnp.ndarray,
+    reference_pcm: jnp.ndarray,
+    coarse_offsets_seconds: jnp.ndarray,
+    sample_rate: int,
+    hop_size: int = 256,
+    search_hops: int = 24,
+    max_offset_samples: int = 0,
+) -> jnp.ndarray:
+    """Exact-sample offset refinement for a batch of stream pairs: the
+    vectorized counterpart of AlignmentExtractor.refine_offset_with_pcm
+    (GCC-PHAT around a frame-level coarse estimate; cf. arXiv:2204.13622).
+
+    query_pcm [B, N1], reference_pcm [B, N2], coarse_offsets_seconds [B]
+    (positive = reference delayed) -> refined offsets [B] in seconds.
+    `max_offset_samples` bounds |coarse| (static; defaults to N/4) so the
+    per-pair analysis window length stays shape-stable.
+    """
+    b, n1 = query_pcm.shape
+    n2 = reference_pcm.shape[-1]
+    if max_offset_samples <= 0:
+        max_offset_samples = min(n1, n2) // 4
+    length = min(n1, n2) - max_offset_samples
+    if length <= 0:
+        raise ValueError("max_offset_samples leaves no analysis window")
+    max_lag = max(search_hops * hop_size, 8)
+    n_fft = 1
+    while n_fft < length + max_lag:
+        n_fft <<= 1
+
+    coarse = jnp.round(coarse_offsets_seconds * sample_rate).astype(jnp.int32)
+    coarse = jnp.clip(coarse, -max_offset_samples, max_offset_samples)
+    # reference delayed by `coarse`: compare query[t] with ref[t + coarse]
+    start_q = jnp.clip(-coarse, 0, n1 - length)
+    start_r = jnp.clip(coarse, 0, n2 - length)
+    q = jax.vmap(
+        lambda x, s: jax.lax.dynamic_slice_in_dim(x, s, length, axis=-1)
+    )(query_pcm.astype(jnp.float32), start_q)
+    r = jax.vmap(
+        lambda x, s: jax.lax.dynamic_slice_in_dim(x, s, length, axis=-1)
+    )(reference_pcm.astype(jnp.float32), start_r)
+
+    f1 = jnp.fft.rfft(q, n=n_fft, axis=-1)
+    f2 = jnp.fft.rfft(r, n=n_fft, axis=-1)
+    cross = f1 * jnp.conj(f2)
+    phat = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+    cc = jnp.fft.irfft(phat, n=n_fft, axis=-1)
+    window = jnp.concatenate(
+        [cc[:, n_fft - max_lag :], cc[:, : max_lag + 1]], axis=-1
+    )
+    residual_lag = jnp.argmax(window, axis=-1).astype(jnp.int32) - max_lag
+    residual = -residual_lag  # positive = reference (still) delayed
+    return (coarse + residual).astype(jnp.float32) / float(sample_rate)

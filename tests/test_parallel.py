@@ -158,3 +158,38 @@ def test_batched_pair_dtw():
     # r[i] = q shifted by +s -> reference index leads -> offset = -s
     np.testing.assert_allclose(got, [-s for s in shifts], atol=2)
     assert (np.asarray(out["distance"]) >= 0).all()
+
+
+def test_batched_refine_offsets_exact():
+    """Vectorized GCC-PHAT refinement recovers exact-sample offsets for
+    a batch of pairs from coarse estimates several hops off."""
+    import numpy as np
+    from sonido_sonar_tpu.io.synth import harmonic_tone, shift_signal, white_noise
+    from sonido_sonar_tpu.parallel.pipeline import batched_refine_offsets
+
+    sr = 8000
+    rng = np.random.default_rng(3)
+    base = np.asarray(
+        harmonic_tone(150.0, 4.0, sr) + white_noise(4.0, sr, 0.05, seed=5)
+    )
+    env = np.interp(
+        np.arange(len(base)), np.linspace(0, len(base), 32),
+        rng.uniform(0.2, 1.0, 32),
+    )
+    src = (base * env).astype(np.float32)
+
+    true_lags = [801, -403, 1537, 97]
+    qs, rs, coarse = [], [], []
+    for lag in true_lags:
+        cdn = np.asarray(shift_signal(src, lag, noise=0.01, gain=0.9))
+        qs.append(src)
+        rs.append(cdn.astype(np.float32))
+        coarse.append((lag + rng.integers(-300, 300)) / sr)  # a few hops off
+
+    refined = batched_refine_offsets(
+        jnp.asarray(np.stack(qs)), jnp.asarray(np.stack(rs)),
+        jnp.asarray(coarse, jnp.float32), sr,
+        hop_size=128, search_hops=8, max_offset_samples=2000,
+    )
+    got = np.round(np.asarray(refined) * sr).astype(int)
+    np.testing.assert_array_equal(got, np.asarray(true_lags))

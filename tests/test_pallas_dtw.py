@@ -188,3 +188,40 @@ def test_pallas_backtrack_batch():
         assert int(l0) == int(lengths[b])
         np.testing.assert_array_equal(np.asarray(qs0), np.asarray(qs[b]))
         np.testing.assert_array_equal(np.asarray(rs0), np.asarray(rs[b]))
+
+
+@pytest.mark.parametrize(
+    "n,m,band,d",
+    [
+        (10, 10, 3, 2),     # n far below one chunk
+        (32, 32, 1, 1),     # exactly one chunk, minimal band
+        (33, 30, 4, 3),     # one row past a chunk boundary, n > m
+        (64, 64, 63, 12),   # band width exactly one lane tile (w=127)
+        (70, 64, 64, 12),   # w=129 crosses into the second lane tile
+    ],
+)
+def test_pallas_kernels_edge_shapes(n, m, band, d):
+    """Chunk/lane boundary cases through both kernels (interpret mode)."""
+    from sonido_sonar_tpu.ops.stats.dtw import _backtrack_banded
+    from sonido_sonar_tpu.ops.stats.pallas_backtrack import (
+        backtrack_banded_pallas,
+    )
+
+    rng = np.random.default_rng(n * 1000 + m)
+    q, r = _rand(rng, n, m, d)
+    ref = np.asarray(_fill_banded(q, r, band, n, m))
+    got_cost = fill_banded_pallas(q, r, band, n, m, interpret=True)
+    got = np.asarray(got_cost)
+    finite = ref < _BIG_CUT
+    assert np.array_equal(ref >= _BIG_CUT, got >= _BIG_CUT)
+    assert np.abs(ref - got)[finite].max() <= 1e-4 + 1e-5 * np.abs(
+        ref[finite]
+    ).max()
+
+    qs0, rs0, _, l0 = _backtrack_banded(jnp.asarray(ref), band, n, m)
+    qs1, rs1, _, l1 = backtrack_banded_pallas(
+        jnp.asarray(ref), band, n, m, interpret=True
+    )
+    assert int(l0) == int(l1)
+    np.testing.assert_array_equal(np.asarray(qs0), np.asarray(qs1))
+    np.testing.assert_array_equal(np.asarray(rs0), np.asarray(rs1))

@@ -13,6 +13,7 @@ from sonido_sonar_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicated,
     shard_batch,
+    shard_over_batch,
 )
 from sonido_sonar_tpu.parallel.pipeline import (  # noqa: F401
     BatchedFingerprintPipeline,

@@ -78,3 +78,32 @@ def initialize_distributed(
     except (RuntimeError, ValueError):
         # already initialized, or single-process run without coordinator
         pass
+
+
+def shard_over_batch(fn, mesh: Mesh, axis: str = "data"):
+    """Wrap a batch-parallel function (no cross-batch dependencies) so
+    each device runs it on its local batch shard via jax.shard_map.
+
+    This is REQUIRED (not an optimization) for functions whose TPU path
+    contains a Pallas kernel: pallas_call carries no SPMD partitioning
+    rule, so under a plain jit over sharded inputs XLA cannot split it
+    across chips. shard_map gives every device the per-shard program;
+    fingerprinting/alignment are embarrassingly parallel over the batch
+    so no collectives are needed.
+
+    `fn` takes positional arrays whose leading axis is the batch and
+    returns an array / tuple / dict of arrays with leading batch axes.
+    """
+    spec = P(axis)
+
+    def wrapped(*args):
+        inner = lambda *xs: fn(*xs)
+        n_in = len(args)
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(spec,) * n_in,
+            out_specs=spec,
+            check_vma=False,
+        )(*args)
+
+    return wrapped

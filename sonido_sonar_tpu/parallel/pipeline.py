@@ -145,16 +145,28 @@ class BatchedFingerprintPipeline:
         sharding = NamedSharding(self.mesh, P(self.axis))
         pcm = jax.device_put(jnp.asarray(pcm_batch, dtype=jnp.float32), sharding)
         cfg = self.config
-        return batched_fingerprint_features(
-            pcm,
-            sample_rate=cfg.sample_rate,
-            window_size=cfg.window_size,
-            hop_size=cfg.hop_size,
-            window_type=cfg.window_type,
-            mfcc_coefficients=cfg.mfcc_coefficients,
-            enable_chroma=cfg.enable_chroma,
-            enable_contrast=cfg.enable_spectral_contrast,
-        )
+
+        def step(x):
+            return batched_fingerprint_features(
+                x,
+                sample_rate=cfg.sample_rate,
+                window_size=cfg.window_size,
+                hop_size=cfg.hop_size,
+                window_type=cfg.window_type,
+                mfcc_coefficients=cfg.mfcc_coefficients,
+                enable_chroma=cfg.enable_chroma,
+                enable_contrast=cfg.enable_spectral_contrast,
+            )
+
+        if self.mesh.size > 1:
+            # shard_map, not sharded-jit: the TPU path contains Pallas
+            # kernels, which the SPMD partitioner cannot split — each
+            # device must run the per-shard program (see
+            # mesh.shard_over_batch)
+            from sonido_sonar_tpu.parallel.mesh import shard_over_batch
+
+            return shard_over_batch(step, self.mesh, self.axis)(pcm)
+        return step(pcm)
 
 
 @partial(jax.jit, static_argnames=("max_lag",))

@@ -96,24 +96,36 @@ class SpeechFeatureExtractor:
                 MFCCParams(num_coefficients=cfg.mfcc_coefficients),
             )
 
-        # Step 3: speech-specific features (non-fatal in reference)
+        # Step 3: speech-specific features — optional: log-warn and
+        # continue on failure (speech.go:179-189)
         if cfg.enable_speech_features:
-            features.speech_features = self._extract_speech(pre, sample_rate)
+            try:
+                features.speech_features = self._extract_speech(pre, sample_rate)
+            except Exception as e:
+                self._log.warn("speech feature extraction failed", error=str(e))
 
         # Step 4: spectral features (critical)
         features.spectral_features = self._extract_spectral(
             spectrogram, pre, sample_rate
         )
 
-        # Step 5: temporal features
+        # Step 5: temporal features — optional (speech.go:201-211)
         if cfg.enable_temporal_features:
-            features.temporal_features = self._extract_temporal(pre, sample_rate)
+            try:
+                features.temporal_features = self._extract_temporal(
+                    pre, sample_rate
+                )
+            except Exception as e:
+                self._log.warn("temporal feature extraction failed", error=str(e))
 
         # Step 6: energy features (critical)
         features.energy_features = self._extract_energy(pre, spectrogram)
 
-        # Step 7: harmonic features (voicing)
-        features.harmonic_features = self._extract_harmonic(pre, sample_rate)
+        # Step 7: harmonic features (voicing) — optional (speech.go:222-230)
+        try:
+            features.harmonic_features = self._extract_harmonic(pre, sample_rate)
+        except Exception as e:
+            self._log.warn("harmonic feature extraction failed", error=str(e))
 
         features.metadata.update(
             extractor_type="speech",
@@ -214,7 +226,12 @@ class SpeechFeatureExtractor:
     def _extract_speech(self, pcm: jnp.ndarray, sr: int) -> SpeechFeatures:
         """speech.go:278-317 + helpers."""
         cfg = self.config
-        analysis = SP.analyze_speech(pcm, sr)
+        if pcm.ndim >= 2:
+            # analyze_speech is a single-clip analysis (one formant
+            # window per signal, format.go:85-122) — vmap over batches
+            analysis = jax.vmap(lambda x: SP.analyze_speech(x, sr))(pcm)
+        else:
+            analysis = SP.analyze_speech(pcm, sr)
         is_speech = analysis.is_speech
 
         # frame-by-frame voicing + tilt at fixed 1024/512 (speech.go:530-585)
@@ -239,14 +256,18 @@ class SpeechFeatureExtractor:
         f = analysis.formants
         vq = analysis.voice_quality
         zero = jnp.zeros_like(vq.jitter)
+        # is_speech is scalar per clip: add a trailing axis so it
+        # broadcasts against per-frame / per-formant feature axes when
+        # the clip axis is batched
+        is_sp = jnp.asarray(is_speech)[..., None]
         return SpeechFeatures(
             formant_frequencies=jnp.where(
-                is_speech, f.frequencies, jnp.zeros_like(f.frequencies)
-            )[None, :],  # [1, max_formants]: one analysis frame (:516-527)
+                is_sp, f.frequencies, jnp.zeros_like(f.frequencies)
+            )[..., None, :],  # [..., 1, max_formants]: one analysis frame (:516-527)
             formant_count=jnp.where(is_speech, f.count, 0),
             vocal_tract_length=jnp.where(is_speech, f.vocal_tract_length, 17.5),
-            voicing_probability=jnp.where(is_speech, voicing, jnp.zeros_like(voicing)),
-            spectral_tilt=jnp.where(is_speech, tilt, jnp.zeros_like(tilt)),
+            voicing_probability=jnp.where(is_sp, voicing, jnp.zeros_like(voicing)),
+            spectral_tilt=jnp.where(is_sp, tilt, jnp.zeros_like(tilt)),
             speech_rate=speech_rate,
             pause_duration=pauses,
             pause_count=pause_count,

@@ -19,6 +19,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,12 +71,9 @@ class FingerprintGenerator:
         self.extractor_factory = FeatureExtractorFactory(strict_reference_routing)
         self._log = get_global_logger().with_component("fingerprint_generator")
 
-    def generate_fingerprint(self, audio: AudioData) -> AudioFingerprint:
-        """GenerateFingerprint (fingerprint.go:137-236)."""
-        if audio is None or len(audio.pcm) == 0:
-            raise ValueError("audio data cannot be empty")
-
-        # content detection (metadata -> acoustic -> default)
+    def _detect_content_type(self, audio: AudioData) -> ContentType:
+        """Content detection cascade: explicit metadata -> acoustic ->
+        UNKNOWN (fingerprint.go:149-170)."""
         content_type = ContentType.UNKNOWN
         if audio.metadata is not None:
             explicit = audio.metadata.extra.get("content_type", "")
@@ -88,6 +86,14 @@ class FingerprintGenerator:
             and self.config.content_aware.enable_content_detection
         ):
             content_type = self.content_detector.detect_content_type(audio)
+        return content_type
+
+    def generate_fingerprint(self, audio: AudioData) -> AudioFingerprint:
+        """GenerateFingerprint (fingerprint.go:137-236)."""
+        if audio is None or len(audio.pcm) == 0:
+            raise ValueError("audio data cannot be empty")
+
+        content_type = self._detect_content_type(audio)
 
         generation_config = self.content_manager.get_generation_config(content_type)
         fc = generation_config.feature_config
@@ -124,6 +130,65 @@ class FingerprintGenerator:
         )
         self._add_metadata(fp, audio, extractor)
         return fp
+
+    def generate_fingerprints_batch(self, audios) -> list:
+        """Batched GenerateFingerprint for same-rate, equal-length clips.
+
+        The whole feature program runs ONCE per content-type group on a
+        stacked [B, N] PCM tensor (the extractors are batch-axis clean),
+        then per-clip fingerprints are split out of the batched feature
+        pytree — the TPU-shaped replacement for looping
+        generate_fingerprint over a corpus. Clips of differing lengths
+        or rates must be grouped/padded by the caller (fixed shapes,
+        SURVEY hard-part #2).
+        """
+        if not audios:
+            return []
+        sr = audios[0].sample_rate
+        n = len(audios[0].pcm)
+        for a in audios:
+            if a is None or len(a.pcm) == 0:
+                raise ValueError("audio data cannot be empty")
+            if a.sample_rate != sr or len(a.pcm) != n:
+                raise ValueError(
+                    "generate_fingerprints_batch requires equal-length, "
+                    "same-rate clips; group or pad upstream"
+                )
+
+        ctypes = [self._detect_content_type(a) for a in audios]
+        results: list = [None] * len(audios)
+        for ct in dict.fromkeys(ctypes):  # preserve first-seen order
+            idxs = [i for i, c in enumerate(ctypes) if c == ct]
+            generation_config = self.content_manager.get_generation_config(ct)
+            fc = generation_config.feature_config.with_(
+                window_size=self.config.feature_config.window_size,
+                hop_size=self.config.feature_config.hop_size,
+                sample_rate=sr,
+            )
+            extractor = self.extractor_factory.create_extractor(ct, fc)
+            pcm = jnp.asarray(
+                np.stack([np.asarray(audios[i].pcm, dtype=np.float32) for i in idxs])
+            )
+            spectrogram = stft(pcm, fc.window_size, fc.hop_size, fc.window_type, sr)
+            features = extractor.extract_features(spectrogram, pcm, sr)
+            for pos, i in enumerate(idxs):
+                feats_i = jax.tree_util.tree_map(lambda x, p=pos: x[p], features)
+                audio = audios[i]
+                fp = AudioFingerprint(
+                    id=generate_id(audio),
+                    stream_url=audio.metadata.url if audio.metadata else "",
+                    content_type=ct,
+                    timestamp=time.time(),
+                    duration=audio.duration,
+                    sample_rate=sr,
+                    hop_size=self.config.feature_config.hop_size,
+                    channels=audio.channels,
+                    features=feats_i,
+                    metadata={},
+                )
+                self._add_metadata(fp, audio, extractor)
+                results[i] = fp
+        return results
 
     def _add_metadata(self, fp: AudioFingerprint, audio: AudioData, extractor) -> None:
         """utils.go:30-58."""

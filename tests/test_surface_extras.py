@@ -135,3 +135,106 @@ def test_metrics():
     assert "throughput_audio_hours_per_hour" in snap
     m.reset()
     assert m.snapshot()["counters"] == {}
+
+
+def test_generate_fingerprints_batch_matches_loop():
+    """Batched generation (one stacked extraction per content group)
+    must produce fingerprints equivalent to per-clip generation."""
+    import numpy as np
+
+    from sonido_sonar_tpu.config.config import FeatureConfig, FingerprintConfig
+    from sonido_sonar_tpu.fingerprint import (
+        FingerprintComparator,
+        FingerprintGenerator,
+    )
+    from sonido_sonar_tpu.io.audio import AudioData, AudioMetadata
+    from sonido_sonar_tpu.io.synth import harmonic_tone, white_noise
+
+    sr = 8000
+    clips = []
+    for i in range(3):
+        x = np.asarray(
+            harmonic_tone(150.0 + 40 * i, 1.0, sr)
+            + white_noise(1.0, sr, 0.03, seed=i),
+            dtype=np.float32,
+        )
+        md = AudioMetadata(
+            url=f"clip{i}",
+            extra={"content_type": "music" if i % 2 else "news"},
+        )
+        clips.append(AudioData(pcm=x, sample_rate=sr, channels=1, metadata=md))
+
+    cfg = FingerprintConfig(
+        feature_config=FeatureConfig(sample_rate=sr, window_size=512, hop_size=128)
+    )
+    gen = FingerprintGenerator(cfg)
+    fps_batch = gen.generate_fingerprints_batch(clips)
+    fps_loop = [gen.generate_fingerprint(c) for c in clips]
+    comp = FingerprintComparator()
+    import jax
+
+    for a, b in zip(fps_batch, fps_loop):
+        assert a.content_type == b.content_type
+        # feature-tree parity: every array of the batched fingerprint
+        # matches its per-clip counterpart
+        la = jax.tree_util.tree_leaves(a.features)
+        lb = jax.tree_util.tree_leaves(b.features)
+        assert len(la) == len(lb)
+        for xa, xb in zip(la, lb):
+            if hasattr(xa, "shape"):
+                assert xa.shape == xb.shape
+                assert np.allclose(
+                    np.asarray(xa), np.asarray(xb), rtol=1e-4, atol=1e-5
+                )
+        # and the comparator sees them as the same fingerprint
+        assert (
+            comp.compare(a, b).overall_similarity
+            == comp.compare(b, b).overall_similarity
+        )
+
+    # guardrails
+    import pytest
+
+    with pytest.raises(ValueError):
+        gen.generate_fingerprints_batch(
+            [clips[0], AudioData(pcm=np.zeros(123, np.float32), sample_rate=sr, channels=1)]
+        )
+    assert gen.generate_fingerprints_batch([]) == []
+
+
+def test_speech_extractor_batch_axis():
+    """The speech extractor (speech features enabled) must accept
+    [B, N] PCM and produce leading batch axes matching single-clip runs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sonido_sonar_tpu.config.config import FeatureConfig
+    from sonido_sonar_tpu.extractors.speech import SpeechFeatureExtractor
+    from sonido_sonar_tpu.io.synth import harmonic_tone, white_noise
+    from sonido_sonar_tpu.ops.stft import stft
+
+    sr = 8000
+    cfg = FeatureConfig(sample_rate=sr, window_size=512, hop_size=128).with_(
+        enable_speech_features=True
+    )
+    pcm = jnp.stack(
+        [
+            jnp.asarray(
+                harmonic_tone(160.0 + 30 * i, 1.0, sr)
+                + white_noise(1.0, sr, 0.02, seed=i)
+            )
+            for i in range(2)
+        ]
+    ).astype(jnp.float32)
+    spec = stft(pcm, 512, 128, cfg.window_type, sr)
+    ext = SpeechFeatureExtractor(cfg)
+    feats = ext.extract_features(spec, pcm, sr)
+    assert feats.speech_features is not None
+    spec0 = stft(pcm[0], 512, 128, cfg.window_type, sr)
+    f0 = ext.extract_features(spec0, pcm[0], sr).speech_features
+    fb = feats.speech_features
+    for k in ("formant_frequencies", "voicing_probability", "jitter",
+              "spectral_tilt", "speech_rate", "pause_count"):
+        a = np.asarray(getattr(fb, k))[0]
+        b = np.asarray(getattr(f0, k))
+        assert np.allclose(a, b, rtol=1e-5, atol=1e-6), k

@@ -75,13 +75,23 @@ class SportsFeatureExtractor(SpeechFeatureExtractor):
         features.energy_features = self._extract_energy(pre, spectrogram)
         features.harmonic_features = self._extract_harmonic(pre, sample_rate)
         # crowd/excitement proxies on top of the standard temporal set
+        # (kept batch-clean: scalars per clip, or lists when [B, N] PCM
+        # comes through the batched generator)
+        import numpy as np
+
         rms = features.energy_features.short_time_energy
+        exc_var = np.asarray(T.energy_variance(rms))
+        exc_ent = np.asarray(T.energy_entropy(rms))
         features.metadata.update(
             extractor_type="sports",
             algorithms_used="spectral,temporal,filters,tonal",
             sample_rate=sample_rate,
-            excitement_variance=float(T.energy_variance(rms)),
-            excitement_entropy=float(T.energy_entropy(rms)),
+            excitement_variance=(
+                float(exc_var) if exc_var.ndim == 0 else exc_var.tolist()
+            ),
+            excitement_entropy=(
+                float(exc_ent) if exc_ent.ndim == 0 else exc_ent.tolist()
+            ),
         )
         return features
 

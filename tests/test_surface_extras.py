@@ -238,3 +238,59 @@ def test_speech_extractor_batch_axis():
         a = np.asarray(getattr(fb, k))[0]
         b = np.asarray(getattr(f0, k))
         assert np.allclose(a, b, rtol=1e-5, atol=1e-6), k
+
+
+def test_all_extractors_batch_axis_parity():
+    """Every content extractor must accept [B, N] PCM and reproduce its
+    single-clip outputs on each batch row (the batched generator relies
+    on this)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sonido_sonar_tpu.config.config import FeatureConfig
+    from sonido_sonar_tpu.extractors.music import MusicFeatureExtractor
+    from sonido_sonar_tpu.extractors.speech import SpeechFeatureExtractor
+    from sonido_sonar_tpu.extractors.sports import (
+        MixedFeatureExtractor,
+        SportsFeatureExtractor,
+    )
+    from sonido_sonar_tpu.io.synth import harmonic_tone, white_noise
+    from sonido_sonar_tpu.ops.stft import stft
+
+    sr = 8000
+    cfg = FeatureConfig(sample_rate=sr, window_size=512, hop_size=128).with_(
+        enable_harmonic_features=True,
+        enable_chroma=True,
+        enable_speech_features=True,
+    )
+    pcm = jnp.stack(
+        [
+            jnp.asarray(
+                harmonic_tone(160.0 + 30 * i, 1.0, sr)
+                + white_noise(1.0, sr, 0.02, seed=i)
+            )
+            for i in range(2)
+        ]
+    ).astype(jnp.float32)
+    spec = stft(pcm, 512, 128, cfg.window_type, sr)
+    spec0 = stft(pcm[0], 512, 128, cfg.window_type, sr)
+
+    for cls in (
+        SpeechFeatureExtractor,
+        MusicFeatureExtractor,
+        SportsFeatureExtractor,
+        MixedFeatureExtractor,
+    ):
+        ext = cls(cfg)
+        fb = ext.extract_features(spec, pcm, sr)
+        f0 = ext.extract_features(spec0, pcm[0], sr)
+        lb = jax.tree_util.tree_leaves(fb)
+        l0 = jax.tree_util.tree_leaves(f0)
+        assert len(lb) == len(l0), cls.__name__
+        for a, b in zip(lb, l0):
+            if hasattr(a, "shape"):
+                assert a.shape[1:] == b.shape, (cls.__name__, a.shape, b.shape)
+                assert np.allclose(
+                    np.asarray(a)[0], np.asarray(b), rtol=1e-4, atol=1e-4
+                ), cls.__name__

@@ -76,25 +76,33 @@ class LatencyMonitor:
         compiles exactly once."""
         return len(self._src) >= self._window and len(self._cdn) >= self._window
 
-    def measure(self) -> Optional[LatencyMeasurement]:
+    def measure(self, refine: bool = False) -> Optional[LatencyMeasurement]:
         """Align the current windows; returns None until enough audio is
-        buffered."""
+        buffered. With refine=True the frame-level offset is sharpened
+        to exact-sample accuracy via GCC-PHAT
+        (AlignmentExtractor.refine_offset_with_pcm) — one extra FFT pass
+        over the window."""
         if not self.ready():
             return None
         metrics = get_global_metrics()
         with metrics.timer("latency_measure"):
-            feats = self._extractor.align_audio_files(
-                jnp.asarray(self._src[-self._window :]),
-                jnp.asarray(self._cdn[-self._window :]),
-                self._sr,
-            )
+            src = jnp.asarray(self._src[-self._window :])
+            cdn = jnp.asarray(self._cdn[-self._window :])
+            feats = self._extractor.align_audio_files(src, cdn, self._sr)
+            offset = feats.temporal_offset
+            method = feats.method
+            if refine:
+                offset = self._extractor.refine_offset_with_pcm(
+                    src, cdn, self._sr, offset
+                )
+                method = f"{method}+phat"
         metrics.record_audio(len(self._src) / self._sr)
         m = LatencyMeasurement(
             time_s=self._samples_seen / self._sr,
-            latency_s=feats.temporal_offset,
+            latency_s=offset,
             confidence=feats.offset_confidence,
             similarity=feats.alignment_similarity,
-            method=feats.method,
+            method=method,
         )
         self.history.append(m)
         return m

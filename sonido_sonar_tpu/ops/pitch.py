@@ -101,13 +101,14 @@ def _yin_difference(frames: jnp.ndarray) -> jnp.ndarray:
     first = x[..., :h]
     e1 = jnp.sum(first * first, axis=-1, keepdims=True)
 
-    # S(tau) = sum_{j=tau}^{tau+H-1} x[j]^2 via cumsum
+    # S(tau) = sum_{j=tau}^{tau+H-1} x[j]^2 via cumsum; the tau windows
+    # are contiguous, so both operands are static slices (an arange
+    # index here lowers to a gather — measurably slower at scale)
     sq = x * x
     csum = jnp.cumsum(sq, axis=-1)
     zero = jnp.zeros_like(csum[..., :1])
     csum0 = jnp.concatenate([zero, csum], axis=-1)  # csum0[k] = sum x[<k]^2
-    tau = jnp.arange(h)
-    s = csum0[..., tau + h] - csum0[..., tau]
+    s = csum0[..., h : 2 * h] - csum0[..., :h]
 
     # r(tau) = sum_{j<H} x[j] x[j+tau]: correlation of `first` against x.
     if w <= _MATMUL_YIN_MAX_W:

@@ -359,3 +359,86 @@ def spectral_contrast_custom_bands(
         peak = jnp.mean(sorted_band[..., width - k:], axis=-1)
         outs.append(jnp.where(peak > 0, 10.0 * jnp.log10(peak / valley), 0.0))
     return jnp.stack(outs, axis=-1)
+
+
+def spectral_descriptor_bundle(
+    magnitude: jnp.ndarray, sample_rate: int, rolloff_threshold: float = 0.85
+) -> dict:
+    """All per-frame descriptors in shared passes over the magnitudes.
+
+    Numerically identical to the standalone functions (same expressions,
+    same masks); exists so the hot pipeline reads the [.., T, F]
+    magnitude tensor ~4 times (joint reductions / bandwidth / rolloff
+    cumsum / flux) instead of ~10 — the descriptors are HBM-bound, not
+    compute-bound. Returns centroid/rolloff/bandwidth/flatness/crest/
+    slope/flux.
+    """
+    freqs = jnp.asarray(_freq_bins(magnitude.shape[-1], sample_rate))
+    m = magnitude
+    power = m * m
+
+    # ---- pass 1: every reduction that only needs (m, const) ----------
+    m_sum = jnp.sum(m, axis=-1)
+    fm_sum = jnp.sum(m * freqs, axis=-1)
+    m_max = jnp.max(m, axis=-1)
+    p_sum = jnp.sum(power, axis=-1)
+    # flatness (threshold mask, log-mean over valid bins)
+    valid_f = m > _EPS
+    count_f = jnp.sum(valid_f, axis=-1)
+    log_sum = jnp.sum(
+        jnp.where(valid_f, jnp.log(jnp.maximum(m, _EPS)), 0.0), axis=-1
+    )
+    # slope (log-log regression, masked to mag > eps and f > 0)
+    valid_s = (m > _EPS) & (freqs > 0)
+    x = jnp.where(valid_s, jnp.log10(jnp.maximum(freqs, _EPS)), 0.0)
+    y = jnp.where(valid_s, jnp.log10(jnp.maximum(m, _EPS)), 0.0)
+    n_s = jnp.sum(valid_s, axis=-1).astype(jnp.float32)
+    sum_x = jnp.sum(x, axis=-1)
+    sum_y = jnp.sum(y, axis=-1)
+    sum_xy = jnp.sum(x * y, axis=-1)
+    sum_xx = jnp.sum(x * x, axis=-1)
+
+    centroid = jnp.where(m_sum > 0, fm_sum / jnp.maximum(m_sum, _EPS), 0.0)
+    n_bins = m.shape[-1]
+    arith = m_sum / n_bins
+    geo = jnp.exp(log_sum / jnp.maximum(count_f, 1))
+    flatness = jnp.where(
+        (count_f > 0) & (arith > _EPS), geo / jnp.maximum(arith, _EPS), 0.0
+    )
+    rms = jnp.sqrt(p_sum / n_bins)
+    crest = jnp.where(rms > 0, m_max / jnp.maximum(rms, _EPS), 0.0)
+    den_s = n_s * sum_xx - sum_x * sum_x
+    slope = jnp.where(
+        (n_s >= 2) & (jnp.abs(den_s) > _EPS),
+        (n_s * sum_xy - sum_x * sum_y)
+        / jnp.where(jnp.abs(den_s) > _EPS, den_s, 1.0),
+        0.0,
+    )
+
+    # ---- pass 2: bandwidth (needs the centroid) ----------------------
+    diff = freqs - centroid[..., None]
+    bw_num = jnp.sum(diff * diff * m, axis=-1)
+    bandwidth = jnp.where(
+        m_sum > 0, jnp.sqrt(bw_num / jnp.maximum(m_sum, _EPS)), 0.0
+    )
+
+    # ---- pass 3: rolloff (cumulative power threshold) -----------------
+    cum = jnp.cumsum(power, axis=-1)
+    reached = cum >= rolloff_threshold * p_sum[..., None]
+    idx = jnp.argmax(reached, axis=-1)
+    rolloff = jnp.where(p_sum > 0, freqs[idx], 0.0)
+
+    # ---- pass 4: flux (frame-to-frame, from ops.stft.spectral_flux) ---
+    from sonido_sonar_tpu.ops.stft import spectral_flux
+
+    flux = spectral_flux(m)
+
+    return {
+        "spectral_centroid": centroid,
+        "spectral_rolloff": rolloff,
+        "spectral_bandwidth": bandwidth,
+        "spectral_flatness": flatness,
+        "spectral_crest": crest,
+        "spectral_slope": slope,
+        "spectral_flux": flux,
+    }

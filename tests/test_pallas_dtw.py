@@ -39,8 +39,8 @@ def _rand(rng, n, m, d):
         (300, 290, 15, 5),   # query longer than reference
         (290, 300, 15, 5),   # reference longer than query
         (97, 100, 8, 1),     # scalar features, n not a chunk multiple
-        (513, 500, 64, 13),  # band width pads past one lane tile
-        (400, 400, 100, 12), # wide band (lanes = 256)
+        (257, 250, 64, 13),  # band width pads past one lane tile
+        (272, 272, 100, 12), # wide band (lanes = 256)
     ],
 )
 def test_pallas_fill_matches_lax_fill(n, m, band, d):

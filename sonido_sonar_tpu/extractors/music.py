@@ -36,7 +36,6 @@ from sonido_sonar_tpu.ops.chroma import chroma_from_magnitude
 from sonido_sonar_tpu.ops.filters import dc_removal, pre_emphasis_for_content
 from sonido_sonar_tpu.ops.framing import frame_signal
 from sonido_sonar_tpu.ops.mfcc import MFCCParams, mfcc
-from sonido_sonar_tpu.ops.pitch import detect_pitch_track
 from sonido_sonar_tpu.ops.speech import hnr_acf
 from sonido_sonar_tpu.ops.stft import STFTResult, spectral_flux
 
@@ -142,17 +141,17 @@ class MusicFeatureExtractor:
     def _extract_spectral(self, spec: STFTResult, pcm, sr) -> SpectralFeatures:
         """music.go:261-302 (6 contrast bands at :111)."""
         mag = spec.magnitude
-        centroid = S.spectral_centroid(mag, sr)
         t = mag.shape[-2]
         pcm_frames = frame_signal(pcm, spec.window_size, spec.hop_size)
+        d = S.spectral_descriptor_bundle(mag, sr)  # shared passes
         return SpectralFeatures(
-            spectral_centroid=centroid,
-            spectral_rolloff=S.spectral_rolloff(mag, sr, 0.85),
-            spectral_bandwidth=S.spectral_bandwidth(mag, sr, centroid),
-            spectral_flatness=S.spectral_flatness(mag),
-            spectral_crest=S.spectral_crest(mag),
-            spectral_slope=S.spectral_slope(mag, sr),
-            spectral_flux=spectral_flux(mag),
+            spectral_centroid=d["spectral_centroid"],
+            spectral_rolloff=d["spectral_rolloff"],
+            spectral_bandwidth=d["spectral_bandwidth"],
+            spectral_flatness=d["spectral_flatness"],
+            spectral_crest=d["spectral_crest"],
+            spectral_slope=d["spectral_slope"],
+            spectral_flux=d["spectral_flux"],
             zero_crossing_rate=S.zcr(pcm_frames[..., :t, :], sr),
             spectral_contrast=S.spectral_contrast(mag, sr, 6),
         )

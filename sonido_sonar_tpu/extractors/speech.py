@@ -19,8 +19,7 @@ sonido_sonar_tpu.ops.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -144,19 +143,19 @@ class SpeechFeatureExtractor:
     ) -> SpectralFeatures:
         """speech.go:320-367: per-frame descriptors + ZCR from PCM."""
         mag = spec.magnitude
-        centroid = S.spectral_centroid(mag, sr)
         t = mag.shape[-2]
         pcm_frames = frame_signal(pcm, spec.window_size, spec.hop_size)
         # align frame counts (PCM framing yields the same T by formula)
         zcr = S.zcr(pcm_frames[..., :t, :], sr)
+        d = S.spectral_descriptor_bundle(mag, sr)  # shared passes
         return SpectralFeatures(
-            spectral_centroid=centroid,
-            spectral_rolloff=S.spectral_rolloff(mag, sr, 0.85),
-            spectral_bandwidth=S.spectral_bandwidth(mag, sr, centroid),
-            spectral_flatness=S.spectral_flatness(mag),
-            spectral_crest=S.spectral_crest(mag),
-            spectral_slope=S.spectral_slope(mag, sr),
-            spectral_flux=spectral_flux(mag),
+            spectral_centroid=d["spectral_centroid"],
+            spectral_rolloff=d["spectral_rolloff"],
+            spectral_bandwidth=d["spectral_bandwidth"],
+            spectral_flatness=d["spectral_flatness"],
+            spectral_crest=d["spectral_crest"],
+            spectral_slope=d["spectral_slope"],
+            spectral_flux=d["spectral_flux"],
             zero_crossing_rate=zcr,
             spectral_contrast=(
                 S.spectral_contrast(mag, sr, self.config.contrast_bands)

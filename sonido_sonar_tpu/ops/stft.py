@@ -182,6 +182,15 @@ def spectral_flux(magnitude: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(flux, pad)
 
 
+def spectral_flux_all_changes(magnitude: jnp.ndarray) -> jnp.ndarray:
+    """Unrectified variant counting decreases too
+    (SpectralFlux.ComputeAllChanges, spectral/spectral_flux.go:41-56)."""
+    diff = magnitude[..., 1:, :] - magnitude[..., :-1, :]
+    flux = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    pad = [(0, 0)] * (flux.ndim - 1) + [(1, 0)]
+    return jnp.pad(flux, pad)
+
+
 class STFTStreamer:
     """Streaming STFT with an internal ring buffer.
 

@@ -128,3 +128,20 @@ def test_streamer_matches_batch():
     got = np.concatenate(parts, axis=0)
     assert got.shape[0] == full.shape[0]
     np.testing.assert_allclose(got, full, atol=1e-4)
+
+
+def test_spectral_flux_all_changes():
+    """The unrectified flux counts decreases; on a decaying spectrum it
+    exceeds the half-wave-rectified flux."""
+    from sonido_sonar_tpu.ops.stft import spectral_flux, spectral_flux_all_changes
+
+    mag = jnp.asarray(
+        np.stack([np.full(9, 2.0), np.full(9, 1.0), np.full(9, 3.0)]).astype(
+            np.float32
+        )
+    )
+    hw = np.asarray(spectral_flux(mag))
+    ac = np.asarray(spectral_flux_all_changes(mag))
+    assert hw[0] == ac[0] == 0.0
+    assert hw[1] == 0.0 and ac[1] > 0.0      # pure decrease
+    assert np.isclose(hw[2], ac[2])          # pure increase

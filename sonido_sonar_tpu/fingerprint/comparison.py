@@ -221,7 +221,11 @@ class FingerprintComparator:
         weights: List[float] = []
         w = self._effective_weights(fp1)
 
-        if f1.mfcc is not None and f2.mfcc is not None:
+        def _nonempty(x) -> bool:
+            # Go gates MFCC/chroma on len(...) > 0 (comparison.go:285,301)
+            return x is not None and np.asarray(x).size > 0
+
+        if _nonempty(f1.mfcc) and _nonempty(f2.mfcc):
             sim = self._compare_mfcc(f1.mfcc, f2.mfcc)
             sims.append(sim)
             weights.append(w.get("mfcc", 0.0))
@@ -233,7 +237,7 @@ class FingerprintComparator:
             weights.append(w.get("spectral", 0.0))
             result.feature_distances["spectral"] = 1.0 - sim
 
-        if f1.chroma_features is not None and f2.chroma_features is not None:
+        if _nonempty(f1.chroma_features) and _nonempty(f2.chroma_features):
             sim = self._compare_chroma(f1.chroma_features, f2.chroma_features)
             sims.append(sim)
             weights.append(w.get("chroma", 0.0))
@@ -283,7 +287,8 @@ class FingerprintComparator:
             (sf1.spectral_rolloff, sf2.spectral_rolloff),
             (sf1.spectral_flux, sf2.spectral_flux),
         ):
-            if a is not None and b is not None:
+            # per-series gate is len(...) > 0 (comparison.go:650-663)
+            if a is not None and b is not None and np.asarray(a).size and np.asarray(b).size:
                 sims.append(compare_sequence_stats(_to_np(a), _to_np(b)))
         return float(np.mean(sims)) if sims else 0.0
 
@@ -305,7 +310,10 @@ class FingerprintComparator:
         od1, od2 = float(t1.onset_density), float(t2.onset_density)
         if od1 > 0 and od2 > 0:
             sims.append(compare_scalar(od1, od2))
-        if t1.rms_energy is not None and t2.rms_energy is not None:
+        if (
+            t1.rms_energy is not None and t2.rms_energy is not None
+            and np.asarray(t1.rms_energy).size and np.asarray(t2.rms_energy).size
+        ):
             sims.append(compare_sequence_stats(_to_np(t1.rms_energy), _to_np(t2.rms_energy)))
         return float(np.mean(sims)) if sims else 0.0
 
@@ -319,7 +327,11 @@ class FingerprintComparator:
         v1, v2 = float(s1.vocal_tract_length), float(s2.vocal_tract_length)
         if v1 > 0 and v2 > 0:
             sims.append(compare_scalar(v1, v2))
-        if s1.voicing_probability is not None and s2.voicing_probability is not None:
+        if (
+            s1.voicing_probability is not None and s2.voicing_probability is not None
+            and np.asarray(s1.voicing_probability).size
+            and np.asarray(s2.voicing_probability).size
+        ):
             sims.append(
                 compare_sequence_stats(
                     _to_np(s1.voicing_probability), _to_np(s2.voicing_probability)
@@ -330,12 +342,19 @@ class FingerprintComparator:
     @staticmethod
     def _compare_harmonic(h1, h2) -> float:
         """compareHarmonicFeatures (comparison.go:752-770)."""
+        def _ok(a, b) -> bool:
+            # per-sequence gate is len(...) > 0 (comparison.go:753-771)
+            return (
+                a is not None and b is not None
+                and np.asarray(a).size > 0 and np.asarray(b).size > 0
+            )
+
         sims = []
-        if h1.harmonic_ratio is not None and h2.harmonic_ratio is not None:
+        if _ok(h1.harmonic_ratio, h2.harmonic_ratio):
             sims.append(
                 compare_sequence_stats(_to_np(h1.harmonic_ratio), _to_np(h2.harmonic_ratio))
             )
-        if h1.pitch_estimate is not None and h2.pitch_estimate is not None:
+        if _ok(h1.pitch_estimate, h2.pitch_estimate):
             sims.append(
                 compare_sequence_stats(_to_np(h1.pitch_estimate), _to_np(h2.pitch_estimate))
             )
@@ -368,11 +387,16 @@ class FingerprintComparator:
         max_dur = max(fp1.duration, fp2.duration)
         m.temporal_alignment = 1.0 - min(1.0, dur_diff / max_dur) if max_dur > 0 else 1.0
 
-        # noise level from similarity variance (comparison.go:938-963)
+        # noise level from similarity variance (comparison.go:938-963):
+        # 0.5 (unknown) when no per-feature distances exist, 0.0 for a
+        # single one, else sqrt(sample variance) capped at 1
         sims = [1.0 - d for d in result.feature_distances.values()]
-        m.noise_level = (
-            min(1.0, float(np.sqrt(np.var(sims, ddof=1)))) if len(sims) > 1 else 0.0
-        )
+        if not sims:
+            m.noise_level = 0.5
+        elif len(sims) == 1:
+            m.noise_level = 0.0
+        else:
+            m.noise_level = min(1.0, float(np.sqrt(np.var(sims, ddof=1))))
 
         # dynamic range match
         if f1.temporal_features is not None and f2.temporal_features is not None:
@@ -380,14 +404,26 @@ class FingerprintComparator:
             dr2 = float(f2.temporal_features.dynamic_range)
             m.dynamic_range_match = compare_scalar(dr1, dr2) if dr1 > 0 and dr2 > 0 else 0.5
 
-        # spectral coherence via Pearson of centroid stats (comparison.go:986-1008)
+        # spectral coherence: mean of |Pearson| over centroid AND rolloff
+        # series (comparison.go:977-1008); NaN correlations (constant
+        # series) are skipped, none valid -> 0.5
         if f1.spectral_features is not None and f2.spectral_features is not None:
-            c1 = _to_np(f1.spectral_features.spectral_centroid)
-            c2 = _to_np(f2.spectral_features.spectral_centroid)
-            n = min(len(c1), len(c2))
-            if n > 1:
-                corr = np.corrcoef(c1[:n], c2[:n])[0, 1]
-                m.spectral_coherence = float(abs(corr)) if np.isfinite(corr) else 0.5
+            coherences = []
+            for a, b in (
+                (f1.spectral_features.spectral_centroid,
+                 f2.spectral_features.spectral_centroid),
+                (f1.spectral_features.spectral_rolloff,
+                 f2.spectral_features.spectral_rolloff),
+            ):
+                if a is None or b is None:
+                    continue
+                s1, s2 = _to_np(a), _to_np(b)
+                n = min(len(s1), len(s2))
+                if n > 1:
+                    corr = np.corrcoef(s1[:n], s2[:n])[0, 1]
+                    if np.isfinite(corr):
+                        coherences.append(abs(corr))
+            m.spectral_coherence = float(np.mean(coherences)) if coherences else 0.5
         return m
 
     def _confidence(self, result: SimilarityResult) -> float:
@@ -412,41 +448,112 @@ class FingerprintComparator:
         candidates: List[AudioFingerprint],
         max_results: int = 0,
         use_device_prefilter: bool = True,
-        prefilter_threshold: int = 256,
+        prefilter_threshold: int = 0,
+        mesh=None,
     ) -> List[Match]:
         """FindBestMatches (comparison.go:197-263): threshold + sort +
         rank.
 
-        For large candidate sets (> prefilter_threshold) a batched
-        device matmul over packed statistics vectors prefilters to the
-        top 4*max_results candidates before the exact pairwise
-        comparison — corpus search cost drops from O(C) Python-loop
-        comparisons to one [C, D] matmul + a short exact pass."""
-        max_results = max_results or self.config.max_candidates
-        if use_device_prefilter and len(candidates) > prefilter_threshold:
-            from sonido_sonar_tpu.parallel.matcher import (
-                fingerprint_matrix,
-                pack_statistics,
-                sharded_top_k_matches,
-            )
+        Default path: the ENTIRE candidate set is scored by the
+        device-side batched comparator (device_compare.batched_similarity
+        — one jitted program reproducing the live scoring chain exactly;
+        no per-candidate Python loop). With `mesh` the packed corpus is
+        sharded over its "data" axis. `use_device_prefilter=False` keeps
+        the host per-pair loop (the float64 parity path).
+        `prefilter_threshold` is retained for API compatibility: device
+        scoring engages above it (default 0 = always).
 
-            corpus = fingerprint_matrix(candidates)
-            qv = pack_statistics(query)
-            k = min(4 * max_results, len(candidates))
-            idx, _ = sharded_top_k_matches(qv, corpus, k=k, mesh=None)
-            candidates = [candidates[int(i)] for i in idx]
-        results = self.batch_compare(query, candidates)
-        by_id = {c.id: c for c in candidates}
-        matches = [
-            Match(by_id[r.fingerprint2_id], r, 0)
-            for r in results
-            if r.overall_similarity >= self.config.similarity_threshold
-        ]
+        With enable_detailed_metrics the confidence heuristic consumes
+        quality metrics the device kernel doesn't compute, so that
+        configuration routes to the host path too."""
+        max_results = max_results or self.config.max_candidates
+        use_device = (
+            use_device_prefilter
+            and not self.config.enable_detailed_metrics
+            and len(candidates) > prefilter_threshold
+        )
+        if not use_device:
+            results = self.batch_compare(query, candidates)
+            by_id = {c.id: c for c in candidates if c is not None}
+            matches = [
+                Match(by_id[r.fingerprint2_id], r, 0)
+                for r in results
+                if r.overall_similarity >= self.config.similarity_threshold
+            ]
+        else:
+            cands = [c for c in candidates if c is not None and c.id != query.id]
+            results = self.batch_compare_device(query, cands, mesh=mesh)
+            matches = [
+                Match(c, r, 0)
+                for c, r in zip(cands, results)
+                if r.overall_similarity >= self.config.similarity_threshold
+            ]
         matches.sort(key=lambda m: m.similarity.overall_similarity, reverse=True)
         matches = matches[:max_results]
         for i, m in enumerate(matches):
             m.rank = i + 1
         return matches
+
+    def batch_compare_device(
+        self,
+        query: AudioFingerprint,
+        candidates: List[AudioFingerprint],
+        mesh=None,
+    ) -> List[SimilarityResult]:
+        """One-dispatch batched Compare over all candidates via the
+        packed-statistics device kernel (device_compare module). Returns
+        SimilarityResults in candidate order (no skipping — the caller
+        filters None/self). Matches the host `compare` to float32
+        rounding with enable_detailed_metrics=False."""
+        from sonido_sonar_tpu.fingerprint.device_compare import (
+            FEATURE_ORDER,
+            MATCH_CLASSES,
+            comparator_matrix,
+            pack_comparator_stats,
+            sharded_batched_similarity,
+        )
+
+        if not candidates:
+            return []
+        t0 = time.monotonic()
+        corpus, width = comparator_matrix(candidates)
+        qv = pack_comparator_stats(query, width)
+        w = self._effective_weights(query)
+        wvec = np.array([w.get(k, 0.0) for k in FEATURE_ORDER], dtype=np.float32)
+        match = np.array(
+            [query.content_type == c.content_type for c in candidates], dtype=bool
+        )
+        out = sharded_batched_similarity(
+            qv, corpus, wvec, match, mesh=mesh, num_mfcc_coeffs=width,
+            content_filter=self.config.enable_content_filter,
+        )
+        elapsed = (time.monotonic() - t0) * 1000
+        results = []
+        for i, cand in enumerate(candidates):
+            sim = float(out["overall"][i])
+            r = SimilarityResult(
+                fingerprint1_id=query.id,
+                fingerprint2_id=cand.id,
+                overall_similarity=sim,
+                feature_similarity=sim,
+                content_type_match=bool(match[i]),
+                match_type=MATCH_CLASSES[int(out["match_class"][i])],
+                confidence=float(out["confidence"][i]),
+                processing_time=elapsed / len(candidates),
+            )
+            filtered = self.config.enable_content_filter and not match[i]
+            if not filtered:
+                for j, name in enumerate(FEATURE_ORDER):
+                    if bool(out["feature_present"][i, j]):
+                        r.feature_distances[name] = 1.0 - float(
+                            out["feature_sims"][i, j]
+                        )
+            else:
+                # content-filter early-out (comparison.go:160-166)
+                r.match_type = "weak"
+                r.confidence = 0.0
+            results.append(r)
+        return results
 
     def batch_compare(
         self, query: AudioFingerprint, candidates: List[AudioFingerprint]

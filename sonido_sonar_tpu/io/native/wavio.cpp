@@ -39,7 +39,8 @@ int wavio_decode(
         uint32_t chunk_size;
         memcpy(&chunk_size, hdr + 4, 4);
         const uint8_t* body = hdr + 8;
-        if (memcmp(hdr, "fmt ", 4) == 0 && chunk_size >= 16) {
+        if (memcmp(hdr, "fmt ", 4) == 0 && chunk_size >= 16 &&
+            pos + 8 + 16 <= size) {
             memcpy(&format, body + 0, 2);
             memcpy(&channels, body + 2, 2);
             memcpy(&rate, body + 4, 4);

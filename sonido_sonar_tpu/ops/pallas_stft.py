@@ -175,6 +175,11 @@ def pallas_stft_available(window_size: int, hop_size: int) -> bool:
         return False
     if _FRAME_TILE % (window_size // hop_size) != 0:
         return False
+    # the kernel promises pl.multiple_of(i * _FRAME_TILE * hop_size, 1024)
+    # for its 1-D DMA slices (Mosaic tiling); only true when the per-tile
+    # stride is itself 1024-aligned
+    if (_FRAME_TILE * hop_size) % 1024 != 0:
+        return False
     # VMEM budget: dft matrix + frames + slice + out tile (float32)
     f_bins = window_size // 2 + 1
     vmem = 4 * (

@@ -1,0 +1,423 @@
+"""Batched hybrid alignment: the full accuracy machinery over [B] pairs.
+
+Round-1 gap (VERDICT item #3): the per-pair hybrid analyzer
+(ops/stats/alignment.py AlignmentAnalyzer._align_hybrid) carries all the
+confidence/quality scoring and the consistency-gated winner selection,
+but it is host-orchestrated and single-pair; the batched device paths
+computed raw lags only. This module lifts the complete policy —
+  NCC xcorr + peak metrics + parabolic sub-frame refinement
+  -> correlation confidence/quality (alignment.go:183-305)
+  -> 0.7 acceptance gate (alignment.go:318-321)
+  -> banded DTW + path metrics (alignment.go:379-607)
+  -> consistency-gated winner + verbatim confidence/similarity blends
+— into two jitted [B]-pair programs (xcorr-score, dtw-score) plus a thin
+host combiner that skips the DTW program entirely when every pair
+clears the correlation gate.
+
+Offsets are bit-identical to the per-pair path by construction: the
+same _ncc_arrays/_peak_metrics kernels, the same banded fill/backtrack,
+the same rounding (round for xcorr, truncate-toward-zero for the DTW
+median displacement). Scoring runs in float32 on device vs float64 on
+host, so confidences may differ at ~1e-6 — tests assert the offsets
+and the winner decisions match on realistic data
+(tests/test_batched_alignment.py, eval_accuracy.py --batched).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonido_sonar_tpu.ops.stats.alignment import _ncc_arrays
+from sonido_sonar_tpu.ops.stats.correlation import _peak_metrics
+
+_EPS = 1e-10
+
+
+# ---------------------------------------------------------------------
+# vectorized scoring (verbatim constants, alignment.go:183-305)
+# ---------------------------------------------------------------------
+
+def correlation_confidence_batch(peak, sharpness, psl, snr, second):
+    """calculateCorrelationConfidence (alignment.go:183-243), [B]."""
+    peak_mag = jnp.abs(peak)
+    peak_score = jnp.where(
+        peak_mag >= 0.6, peak_mag + (peak_mag - 0.6) * 0.5, peak_mag
+    )
+    sharp_score = jnp.minimum(0.9, sharpness * 8.0)
+    side_score = jnp.where(
+        (psl > 0) & jnp.isfinite(psl), jnp.minimum(0.8, psl / 15.0), 0.0
+    )
+    snr_score = jnp.where(snr > 0, jnp.minimum(0.7, snr / 25.0), 0.0)
+    ratio = jnp.abs(second) / jnp.maximum(peak_mag, _EPS)
+    second_penalty = jnp.where(
+        (second != 0) & (peak_mag > 0) & (ratio > 0.7), (ratio - 0.7) * 0.25, 0.0
+    )
+    excellence = jnp.where(
+        peak_mag >= 0.75, 0.12, jnp.where(peak_mag >= 0.6, 0.08, 0.0)
+    )
+    conf = (
+        0.55 * peak_score + 0.22 * sharp_score + 0.12 * side_score
+        + 0.06 * snr_score + 0.05 * 0.15 + excellence - second_penalty
+    )
+    conf = jnp.clip(conf, 0.0, 0.95)
+    return jnp.where(peak_mag < 0.1, 0.0, conf)
+
+
+def correlation_quality_batch(peak, sharpness, psl, snr, peak_lag, max_lag: int):
+    """calculateCorrelationQuality (alignment.go:245-305), [B]."""
+    peak_mag = jnp.abs(peak)
+    peak_q = jnp.where(
+        peak_mag >= 0.6, peak_mag + (peak_mag - 0.6) * 0.4, peak_mag
+    )
+    sharp_q = jnp.minimum(0.85, sharpness * 5.0)
+    side_q = jnp.where(
+        (psl > 0) & jnp.isfinite(psl), jnp.minimum(0.7, psl / 20.0), 0.0
+    )
+    snr_q = jnp.where(snr > 0, jnp.minimum(0.6, snr / 30.0), 0.0)
+    if max_lag > 0:
+        neg_ratio = jnp.abs(peak_lag.astype(jnp.float32)) / float(max_lag)
+        lag_penalty = jnp.where(
+            (peak_lag < 0) & (neg_ratio > 0.90), (neg_ratio - 0.90) * 4.0, 0.0
+        )
+    else:
+        lag_penalty = 0.0
+    bonus = jnp.where(
+        peak_mag >= 0.7, 0.10, jnp.where(peak_mag >= 0.55, 0.06, 0.0)
+    )
+    q = (
+        0.50 * peak_q + 0.25 * sharp_q + 0.15 * side_q + 0.10 * snr_q
+        + bonus - lag_penalty
+    )
+    q = jnp.clip(q, 0.0, 1.0)
+    return jnp.where(peak_mag < 0.08, 0.0, q)
+
+
+def _dtw_path_scores(qs, rs, cs, length, raw_cost, n: int, m: int):
+    """All DTW path metrics for one pair (vectorized internals; vmapped
+    by the caller). Mirrors ops/stats/alignment.py dtw_confidence /
+    dtw_similarity / dtw_quality / path_stability / _offset_consistency
+    and the offset estimator, with traced path length."""
+    max_len = qs.shape[0]
+    idx = jnp.arange(max_len)
+    valid = idx < length
+    L = jnp.maximum(length, 1).astype(jnp.float32)
+    distance = raw_cost / L  # dtw.go:88-92 path-normalized
+
+    # --- cost consistency (alignment.go:455-500) -----------------------
+    # adaptive window w = clamp(min(5, L/4), 2); only its halfwidth
+    # w//2 in {1, 2} affects the smoothing window
+    h = jnp.where(length // 4 >= 4, 2, 1)
+    cs_masked = jnp.where(valid, cs, 0.0)
+    csum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(cs_masked)])
+    lo = jnp.maximum(0, idx - h)
+    hi = jnp.minimum(length - 1, idx + h)
+    cnt = jnp.maximum(hi - lo + 1, 1).astype(jnp.float32)
+    smoothed = (csum[jnp.maximum(hi + 1, 0)] - csum[lo]) / cnt
+    smoothed = jnp.where(valid, smoothed, 0.0)
+    sm_mean = jnp.sum(smoothed) / L
+    sm_var = jnp.sum(jnp.where(valid, (smoothed - sm_mean) ** 2, 0.0)) / L
+    cv = jnp.sqrt(sm_var) / jnp.maximum(sm_mean, _EPS)
+    consistency = jnp.where(
+        length <= 1, 0.0, jnp.where(sm_mean <= 1e-10, 1.0, 1.0 / (1.0 + cv))
+    )
+
+    # --- step geometry ---------------------------------------------------
+    dq = qs[1:] - qs[:-1]
+    dr = rs[1:] - rs[:-1]
+    step_valid = idx[1:] < length
+    total_steps = jnp.maximum(length - 1, 1).astype(jnp.float32)
+    diag_ratio = (
+        jnp.sum(((dq > 0) & (dr > 0) & step_valid)) / total_steps
+    )
+    diag_bias = jnp.where(
+        length <= 1, 1.0, 1.0 / (1.0 + jnp.exp(-10.0 * (diag_ratio - 0.3)))
+    )
+    changes = jnp.sum(
+        (((dq[1:] != dq[:-1]) | (dr[1:] != dr[:-1])) & (idx[2:] < length))
+    ).astype(jnp.float32)
+    smooth = jnp.where(
+        length <= 2, 1.0, jnp.maximum(0.0, 1.0 - changes / total_steps)
+    )
+    stability = jnp.where(
+        length < 3, 0.0, jnp.maximum(0.0, 1.0 - changes / total_steps)
+    )
+
+    # --- composite scores (alignment.go:379-453, 545-568) ----------------
+    avg_len = (n + m) / 2.0
+    nd = distance / avg_len
+    eff = jnp.minimum(1.0, max(n, m) / L)
+    mean_cost = jnp.sum(cs_masked) / L
+    quality = jnp.clip(
+        0.3 * eff + 0.3 * diag_bias + 0.2 * smooth + 0.2 * consistency, 0.0, 1.0
+    )
+    similarity = jnp.clip(
+        0.5 * (1.0 / (1.0 + nd)) + 0.3 * quality + 0.2 * (1.0 / (1.0 + mean_cost)),
+        0.0, 1.0,
+    )
+    confidence = jnp.clip(
+        0.4 * jnp.exp(-nd * 2.0) + 0.25 * eff + 0.2 * consistency
+        + 0.15 * diag_bias,
+        0.0, 1.0,
+    )
+    confidence = jnp.where(length == 0, 0.0, confidence)
+
+    # --- offset: truncated median of interior displacements --------------
+    interior = valid & (qs > 0) & (rs > 0) & (qs < n - 1) & (rs < m - 1)
+    disp = (rs - qs).astype(jnp.float32)
+    disp_masked = jnp.where(interior, disp, jnp.nan)
+    med = jnp.nanmedian(disp_masked)
+    has_interior = jnp.any(interior)
+    offset_frames = jnp.where(
+        has_interior,
+        jnp.trunc(jnp.where(jnp.isnan(med), 0.0, med)),
+        jnp.floor(jnp.sum(jnp.where(valid, disp, 0.0)) / L),
+    ).astype(jnp.int32)
+
+    # --- offset consistency gate (hybrid deviation note) ------------------
+    within = jnp.sum(interior & (jnp.abs(disp - med) <= 5.0))
+    n_interior = jnp.sum(interior)
+    offset_consistency = jnp.where(
+        (length < 3) | (n_interior == 0),
+        0.0,
+        within / jnp.maximum(n_interior, 1),
+    )
+
+    return {
+        "offset_frames": offset_frames,
+        "confidence": confidence,
+        "similarity": similarity,
+        "quality": quality,
+        "stability": stability,
+        "offset_consistency": offset_consistency,
+        "distance": distance,
+    }
+
+
+# ---------------------------------------------------------------------
+# jitted batch programs
+# ---------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_lag", "hop_size", "t1", "t2"))
+def xcorr_align_batch(
+    query: jnp.ndarray,       # [B, T1] 1-D feature series (energy)
+    reference: jnp.ndarray,   # [B, T2]
+    max_lag: int,
+    hop_size: int,
+    t1: int,
+    t2: int,
+) -> Dict[str, jnp.ndarray]:
+    """Batched alignWithCrossCorrelation (alignment.go:151-181) with the
+    analyzer's parabolic sub-frame peak refinement."""
+
+    def one(q, r):
+        corr = _ncc_arrays(q, r, max_lag, t1, t2)
+        peak_corr, peak_lag, peak_idx, _pval, snr, sharp, second, psl, _ov = (
+            _peak_metrics(corr, max_lag, t1, t2)
+        )
+        num_lags = 2 * max_lag + 1
+        i = peak_idx
+        y0 = corr[jnp.maximum(i - 1, 0)]
+        y1 = corr[i]
+        y2 = corr[jnp.minimum(i + 1, num_lags - 1)]
+        denom = y0 - 2.0 * y1 + y2
+        shift = 0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+        ok = (
+            (i > 0) & (i < num_lags - 1)
+            & (jnp.abs(denom) > 1e-12) & (jnp.abs(shift) <= 1.0)
+        )
+        lag_refined = peak_lag.astype(jnp.float32) + jnp.where(ok, shift, 0.0)
+        offset = jnp.round(-lag_refined * hop_size).astype(jnp.int32)
+        return peak_corr, peak_lag, snr, sharp, second, psl, offset
+
+    peak_corr, peak_lag, snr, sharp, second, psl, offset = jax.vmap(one)(
+        query.astype(jnp.float32), reference.astype(jnp.float32)
+    )
+    similarity = jnp.clip(jnp.abs(peak_corr), 0.0, 1.0)
+    confidence = correlation_confidence_batch(peak_corr, sharp, psl, snr, second)
+    quality = correlation_quality_batch(peak_corr, sharp, psl, snr, peak_lag, max_lag)
+    return {
+        "offset_samples": offset,
+        "peak_lag": peak_lag,
+        "peak_correlation": peak_corr,
+        "similarity": similarity,
+        "confidence": confidence,
+        "quality": quality,
+        "noise_level": 1.0 - snr / 20.0,
+    }
+
+
+@partial(jax.jit, static_argnames=("band", "hop_size", "n", "m"))
+def dtw_align_batch(
+    query: jnp.ndarray,       # [B, N] or [B, N, D]
+    reference: jnp.ndarray,   # [B, M] or [B, M, D]
+    band: int,
+    hop_size: int,
+    n: int,
+    m: int,
+) -> Dict[str, jnp.ndarray]:
+    """Batched alignWithDTW (alignment.go:133-149) over the banded fill
+    + backtrack, with full path scoring."""
+    from sonido_sonar_tpu.ops.stats.dtw import _backtrack_banded, _fill_banded
+    from sonido_sonar_tpu.ops.stats.pallas_backtrack import (
+        backtrack_banded_pallas_batch,
+        pallas_backtrack_available,
+    )
+    from sonido_sonar_tpu.ops.stats.pallas_dtw import (
+        fill_banded_pallas_batch,
+        pallas_dtw_available,
+    )
+
+    if query.ndim == 2:
+        query = query[..., None]
+    if reference.ndim == 2:
+        reference = reference[..., None]
+    q = query.astype(jnp.float32)
+    r = reference.astype(jnp.float32)
+
+    if pallas_dtw_available():
+        costs = fill_banded_pallas_batch(q, r, band, n, m)
+    else:
+        costs = jax.vmap(lambda a, b: _fill_banded(a, b, band, n, m))(q, r)
+    if pallas_backtrack_available():
+        qs_b, rs_b, cs_b, lengths = backtrack_banded_pallas_batch(costs, band, n, m)
+    else:
+        qs_b, rs_b, cs_b, lengths = jax.vmap(
+            lambda c: _backtrack_banded(c, band, n, m)
+        )(costs)
+
+    raw = costs[:, n, m - n + band]
+    scores = jax.vmap(partial(_dtw_path_scores, n=n, m=m))(
+        qs_b, rs_b, cs_b, lengths, raw
+    )
+    scores["offset_samples"] = scores.pop("offset_frames") * hop_size
+    return scores
+
+
+# ---------------------------------------------------------------------
+# host combiner (the hybrid policy)
+# ---------------------------------------------------------------------
+
+def batched_hybrid_align(
+    query_energy,
+    reference_energy,
+    max_lag: int,
+    hop_size: int,
+    sample_rate: int,
+    dtw_band: int = 50,
+    skip_dtw_if_confident: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Hybrid alignment for B pairs of 1-D feature series.
+
+    Policy identical to AlignmentAnalyzer._align_hybrid (including its
+    documented consistency-gate deviation from alignment.go:308-337):
+      - accept xcorr when its confidence > 0.7
+      - otherwise run banded DTW, scale its confidence by
+        sqrt(offset_consistency), take the more confident offset,
+        report the reference's verbatim 0.6/0.4 + 0.7/0.3 blends
+    The DTW program is skipped entirely when every pair clears the gate
+    (one host sync on the [B] confidence vector).
+
+    Returns numpy arrays: offset_samples, offset_seconds, confidence,
+    similarity, quality, method (0 = correlation accepted,
+    1 = hybrid/corr winner, 2 = hybrid/DTW winner).
+    """
+    q = jnp.asarray(query_energy)
+    r = jnp.asarray(reference_energy)
+    t1, t2 = int(q.shape[-1]), int(r.shape[-1])
+    max_lag = max(min(max_lag, t1 - 1, t2 - 1), 0)
+
+    xc = xcorr_align_batch(q, r, max_lag, hop_size, t1, t2)
+    corr_off = np.asarray(xc["offset_samples"])
+    corr_conf = np.asarray(xc["confidence"])
+    corr_sim = np.asarray(xc["similarity"])
+    corr_q = np.asarray(xc["quality"])
+
+    accepted = corr_conf > 0.7
+    out = {
+        "offset_samples": corr_off.copy(),
+        "confidence": corr_conf.copy(),
+        "similarity": corr_sim.copy(),
+        "quality": corr_q.copy(),
+        "method": np.zeros(corr_off.shape[0], dtype=np.int32),
+    }
+
+    need_dtw = ~accepted
+    if need_dtw.any() or not skip_dtw_if_confident:
+        band = dtw_band
+        if band > 0 and max_lag > 0:
+            band = max(band, max_lag)  # see _align_dtw's deviation note
+        band = min(band, max(t1, t2))
+        if abs(t1 - t2) > band:
+            band = abs(t1 - t2)
+        dt = dtw_align_batch(q, r, band, hop_size, t1, t2)
+        dtw_off = np.asarray(dt["offset_samples"])
+        dtw_conf = np.asarray(dt["confidence"])
+        dtw_sim = np.asarray(dt["similarity"])
+        dtw_q = np.asarray(dt["quality"])
+        eff_conf = dtw_conf * np.sqrt(np.asarray(dt["offset_consistency"]))
+
+        dtw_wins = need_dtw & (eff_conf >= corr_conf)
+        out["offset_samples"] = np.where(dtw_wins, dtw_off, corr_off)
+        out["confidence"] = np.where(
+            need_dtw, 0.6 * dtw_conf + 0.4 * corr_conf, corr_conf
+        )
+        out["similarity"] = np.where(
+            need_dtw, 0.7 * dtw_sim + 0.3 * corr_sim, corr_sim
+        )
+        out["quality"] = np.where(need_dtw, dtw_q, corr_q)
+        out["method"] = np.where(
+            need_dtw, np.where(dtw_wins, 2, 1), 0
+        ).astype(np.int32)
+
+    out["offset_seconds"] = out["offset_samples"] / float(sample_rate)
+    return out
+
+
+def batched_align_audio(
+    query_pcm,
+    reference_pcm,
+    sample_rate: int,
+    window_size: int = 2048,
+    hop_size: int = 512,
+    max_lag_seconds: float = 30.0,
+    dtw_band: int = 50,
+    refine: bool = False,
+    energy_impl: str = "framed",
+) -> Dict[str, np.ndarray]:
+    """AlignAudio for B pairs (alignment.go:109-130): short-time RMS
+    energy series -> batched hybrid alignment; optional fused GCC-PHAT
+    sample-level refinement (parallel.pipeline.batched_refine_offsets).
+
+    query_pcm/reference_pcm: [B, N] arrays. energy_impl: "framed" is
+    bit-identical to the per-pair analyzer's short_time_energy;
+    "cumsum" is the O(N) prefix-sum formulation used by the Pallas
+    pipeline (equal to ~1e-6, cheaper for long batches).
+    """
+    from sonido_sonar_tpu.ops.temporal import (
+        short_time_energy,
+        short_time_energy_cumsum,
+    )
+
+    energy = short_time_energy if energy_impl == "framed" else short_time_energy_cumsum
+    q = jnp.asarray(query_pcm, dtype=jnp.float32)
+    r = jnp.asarray(reference_pcm, dtype=jnp.float32)
+    qe = energy(q, window_size, hop_size)
+    re_ = energy(r, window_size, hop_size)
+    max_lag = int(max_lag_seconds * sample_rate) // hop_size
+    out = batched_hybrid_align(
+        qe, re_, max_lag, hop_size, sample_rate, dtw_band=dtw_band
+    )
+    if refine:
+        from sonido_sonar_tpu.parallel.pipeline import batched_refine_offsets
+
+        refined = batched_refine_offsets(
+            q, r, jnp.asarray(out["offset_seconds"], dtype=jnp.float32),
+            sample_rate, hop_size=hop_size,
+        )
+        out["offset_seconds_refined"] = np.asarray(refined)
+    return out

@@ -198,6 +198,13 @@ def _backtrack(cost: jnp.ndarray, n: int, m: int):
             cost[i, j] - cost[i - 1, j - 1],
             0.0,
         )
+        # NOTE deviation: with a band constraint the diagonal predecessor
+        # can be an unfilled (+inf / big-sentinel) cell, making the
+        # "local cost" meaningless (in Go it would be -Inf, silently
+        # neutralizing cost-consistency via its mean<=1e-10 branch, a
+        # case the unbanded upstream default never reaches). Clamp such
+        # points to 0 like the matrix border.
+        local_cost = jnp.where(jnp.abs(local_cost) < 1e30, local_cost, 0.0)
         qs = qs.at[k].set(i - 1)
         rs = rs.at[k].set(j - 1)
         cs = cs.at[k].set(local_cost)
@@ -402,6 +409,9 @@ def _backtrack_banded(cost_band: jnp.ndarray, band: int, n: int, m: int):
         local = jnp.where(
             (i > 0) & (j > 0), get(i, j) - get(i - 1, j - 1), 0.0
         )
+        # band-edge diagonal predecessors are sentinel-valued; clamp to 0
+        # (see the matching NOTE deviation in _backtrack)
+        local = jnp.where(jnp.abs(local) < 1e30, local, 0.0)
         qs = qs.at[k].set(i - 1)
         rs = rs.at[k].set(j - 1)
         cs = cs.at[k].set(local)

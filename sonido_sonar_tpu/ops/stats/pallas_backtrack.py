@@ -188,6 +188,9 @@ def backtrack_banded_pallas_batch(
     c_here = cost_band[bb, jnp.clip(i_seq, 0, n), k_seq]
     c_prev = cost_band[bb, jnp.clip(i_seq - 1, 0, n), k_seq]
     cs = jnp.where((i_seq > 0) & (j_seq > 0), c_here - c_prev, 0.0)
+    # band-edge diagonal predecessors are sentinel-valued; clamp to 0
+    # (same NOTE deviation as dtw._backtrack / _backtrack_banded)
+    cs = jnp.where(jnp.abs(cs) < 1e30, cs, 0.0)
 
     # reverse the filled prefix into start -> end order (same contract
     # as dtw._backtrack_banded)

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -193,17 +195,27 @@ def detect_onsets_from_flux(
     sample_rate: int,
     threshold: float = 0.3,
     min_interval_sec: float = 0.05,
+    relative: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Spectral-flux peak picking -> (onset mask [..., T], count).
 
-    Peaks are local maxima above `threshold * max(flux)` separated by at
-    least `min_interval_sec` (onset_detection.go:26-120). The minimum
-    interval is enforced with a monotonic scan over frames.
+    Peaks are local maxima above the threshold, separated by at least
+    `min_interval_sec` (onset_detection.go:26-120; the reference's
+    findFluxPeaks uses `flux[i] >= threshold` absolutely). With
+    relative=True (default) the threshold scales by max(flux) so it is
+    amplitude-invariant; relative=False keeps the reference's absolute
+    semantics. The minimum interval is enforced with a monotonic scan
+    over frames.
     """
+    thr = (
+        threshold * jnp.max(flux, axis=-1, keepdims=True)
+        if relative
+        else jnp.asarray(threshold, dtype=flux.dtype)
+    )
     peak = (
         (flux[..., 1:-1] > flux[..., :-2])
         & (flux[..., 1:-1] > flux[..., 2:])
-        & (flux[..., 1:-1] > threshold * jnp.max(flux, axis=-1, keepdims=True))
+        & (flux[..., 1:-1] >= thr)
     )
     pad = [(0, 0)] * (peak.ndim - 1) + [(1, 1)]
     cand = jnp.pad(peak, pad)
@@ -405,6 +417,176 @@ def estimate_tempo_autocorrelation(
 def tempo_category(bpm: jnp.ndarray) -> jnp.ndarray:
     """0=slow(<90) 1=moderate(<140) 2=fast (tempo_estimation.go category)."""
     return jnp.where(bpm < 90.0, 0, jnp.where(bpm < 140.0, 1, 2))
+
+
+# quantized tempo bins of findTempoFromIntervals (tempo_estimation.go:82)
+_TEMPO_RANGE = (60.0, 70.0, 80.0, 90.0, 100.0, 110.0, 120.0, 130.0,
+                140.0, 150.0, 160.0, 170.0, 180.0, 200.0)
+
+
+def onset_positions_from_mask(
+    mask: jnp.ndarray, hop_size: int, max_onsets: int = 256
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked frame-grid onsets -> sorted sample positions.
+
+    [..., T] bool -> (positions [..., K] int32 samples, valid [..., K]).
+    The reference converts onset frames to samples via frame*hopSize
+    (onset_detection.go:48-55)."""
+    t = mask.shape[-1]
+    idx = jnp.arange(t, dtype=jnp.int32)
+    big = jnp.int32(2**30)
+    keyed = jnp.where(mask, idx * hop_size, big)
+    pos = jnp.sort(keyed, axis=-1)[..., :max_onsets]
+    valid = pos < big
+    return jnp.where(valid, pos, 0), valid
+
+
+def combine_onset_positions(
+    pos1: jnp.ndarray, valid1: jnp.ndarray,
+    pos2: jnp.ndarray, valid2: jnp.ndarray,
+    tolerance_samples: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """combineOnsets (onset_detection.go:148-182): merge two sorted
+    onset lists, drop any onset within `tolerance_samples` of an
+    already-kept one (ascending greedy — equivalent to the reference's
+    any-kept check since kept positions are ascending)."""
+    big = jnp.int32(2**30)
+    allpos = jnp.concatenate(
+        [jnp.where(valid1, pos1, big), jnp.where(valid2, pos2, big)], axis=-1
+    )
+    allpos = jnp.sort(allpos, axis=-1)
+
+    def per_row(row):
+        def step(last_kept, p):
+            ok = (p < big) & (p - last_kept > tolerance_samples)
+            return jnp.where(ok, p, last_kept), ok
+
+        _, kept = jax.lax.scan(step, -big, row)
+        return kept
+
+    flat = allpos.reshape(-1, allpos.shape[-1])
+    kept = jax.vmap(per_row)(flat).reshape(allpos.shape)
+    # compact kept positions to the front, ascending
+    keyed = jnp.where(kept, allpos, big)
+    pos = jnp.sort(keyed, axis=-1)
+    valid = pos < big
+    return jnp.where(valid, pos, 0), valid
+
+
+def tempo_from_intervals(
+    intervals_sec: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """findTempoFromIntervals (tempo_estimation.go:77-119), verbatim:
+    quantize each inter-onset interval in (0.2 s, 2.0 s) to the nearest
+    of 14 tempo bins (within 10 BPM), return the most frequent bin —
+    120 BPM default when no interval qualifies. Ties keep the
+    lowest-BPM bin like the Go strict-greater scan."""
+    bins = jnp.asarray(_TEMPO_RANGE, dtype=jnp.float32)
+    iv = intervals_sec.astype(jnp.float32)
+    in_range = valid & (iv > 0.2) & (iv < 2.0)
+    tempo = 60.0 / jnp.maximum(iv, 1e-6)
+    diffs = jnp.abs(tempo[..., None] - bins)           # [..., K, 14]
+    best_idx = jnp.argmin(diffs, axis=-1)              # first-min on ties
+    best_diff = jnp.min(diffs, axis=-1)
+    counted = in_range & (best_diff < 10.0)
+    one_hot = (
+        counted[..., None]
+        & (best_idx[..., None] == jnp.arange(len(_TEMPO_RANGE)))
+    )
+    counts = jnp.sum(one_hot, axis=-2)                 # [..., 14]
+    best_bin = jnp.argmax(counts, axis=-1)             # first-max on ties
+    max_count = jnp.max(counts, axis=-1)
+    return jnp.where(max_count > 0, bins[best_bin], 120.0)
+
+
+def tempo_from_onset_positions(
+    positions: jnp.ndarray, valid: jnp.ndarray, sample_rate: int
+) -> jnp.ndarray:
+    """EstimateTempo core (tempo_estimation.go:22-48): inter-onset
+    intervals of consecutive onsets -> dominant-interval tempo. 0 BPM
+    with fewer than 2 onsets, as upstream."""
+    n = jnp.sum(valid, axis=-1)
+    intervals = (positions[..., 1:] - positions[..., :-1]).astype(
+        jnp.float32
+    ) / float(sample_rate)
+    k = jnp.arange(intervals.shape[-1])
+    iv_valid = k < (n[..., None] - 1)
+    bpm = tempo_from_intervals(intervals, iv_valid)
+    return jnp.where(n >= 2, bpm, 0.0)
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "max_onsets"))
+def estimate_tempo(
+    signal: jnp.ndarray, sample_rate: int, max_onsets: int = 256
+) -> jnp.ndarray:
+    """EstimateTempo (tempo_estimation.go:22-48): the reference's
+    primary tempo path — "complex" onsets = spectral-flux onsets
+    (window 1024 / hop 512, absolute threshold 0.3) merged with
+    energy-derivative onsets (512/256, threshold 0.1), deduplicated
+    within 50 ms in the sample domain (onset_detection.go:122-146),
+    then the interval histogram. [..., N] -> [...] BPM.
+
+    NOTE deviation: the reference peak-picks flux with an ABSOLUTE
+    threshold (findFluxPeaks, onset_detection.go:110), which is scale-
+    dependent; this facade normalizes each detection function to unit
+    maximum first so the same thresholds behave scale-invariantly.
+    """
+    from sonido_sonar_tpu.ops.stft import stft
+
+    x = signal.astype(jnp.float32)
+    min_interval = 0.05
+
+    # flux onsets: window 1024 hop 512 (onset_detection.go:31-33)
+    mag = stft(x, 1024, 512, sample_rate=sample_rate).magnitude
+    d = mag[..., 1:, :] - mag[..., :-1, :]
+    flux = jnp.sqrt(jnp.sum(jnp.where(d > 0, d * d, 0.0), axis=-1))
+    pad = [(0, 0)] * (flux.ndim - 1) + [(1, 0)]
+    flux = jnp.pad(flux, pad)
+    flux = flux / jnp.maximum(jnp.max(flux, axis=-1, keepdims=True), 1e-10)
+    m1, _ = detect_onsets_from_flux(
+        flux, 512, sample_rate, threshold=0.3,
+        min_interval_sec=min_interval, relative=False,
+    )
+    p1, v1 = onset_positions_from_mask(m1, 512, max_onsets)
+
+    # energy onsets: frame 512 hop 256, positive derivative peaks
+    # (onset_detection.go:59-95)
+    env = short_time_energy(x, 512, 256)
+    ediff = jnp.maximum(env[..., 1:] - env[..., :-1], 0.0)
+    pad = [(0, 0)] * (ediff.ndim - 1) + [(1, 0)]
+    ediff = jnp.pad(ediff, pad)
+    ediff = ediff / jnp.maximum(jnp.max(ediff, axis=-1, keepdims=True), 1e-10)
+    m2, _ = detect_onsets_from_flux(
+        ediff, 256, sample_rate, threshold=0.1,
+        min_interval_sec=min_interval, relative=False,
+    )
+    p2, v2 = onset_positions_from_mask(m2, 256, max_onsets)
+
+    pos, valid = combine_onset_positions(
+        p1, v1, p2, v2, int(min_interval * sample_rate)
+    )
+    pos = pos[..., : 2 * max_onsets]
+    valid = valid[..., : 2 * max_onsets]
+    return tempo_from_onset_positions(pos, valid, sample_rate)
+
+
+@partial(jax.jit, static_argnames=("sample_rate",))
+def estimate_tempo_range(
+    signal: jnp.ndarray, sample_rate: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """EstimateTempoRange (tempo_estimation.go:204-218): average of the
+    interval-histogram and autocorrelation tempi + agreement confidence
+    max(0, 1 - |diff|/50)."""
+    onset_tempo = estimate_tempo(signal, sample_rate)
+    frame = int(0.1 * sample_rate)
+    env = rms_envelope(signal, frame, frame // 4)
+    ac_tempo = estimate_tempo_autocorrelation(
+        env, frame // 4, sample_rate, min_bpm=60.0, max_bpm=180.0
+    )
+    avg = (onset_tempo + ac_tempo) / 2.0
+    diff = jnp.abs(onset_tempo - ac_tempo)
+    confidence = jnp.maximum(0.0, 1.0 - diff / 50.0)
+    return avg, confidence, diff
 
 
 def np_ceil_log2(n: int) -> int:

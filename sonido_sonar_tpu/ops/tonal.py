@@ -331,16 +331,28 @@ class HarmonicRatioAnalyzer:
         raise ValueError(f"unknown HNR method {self.method}")
 
     def analyze_spectrum(
-        self, magnitude: jnp.ndarray, window_size: int, num_harmonics: int = 8
+        self, magnitude: jnp.ndarray, window_size: int, num_harmonics: int = 8,
+        noise_estimation: str = "percentile", noise_floor_percentile: float = 0.1,
+        noise_floor_smoothing: int = 10,
     ) -> jnp.ndarray:
         """Spectral-method HNR: energy at harmonic bins of the HPS f0 vs
-        median noise floor (harmonic_ratio.go:650-705), [..., F] -> dB."""
+        the LOCAL-window noise floor (harmonic_ratio.go:632-705),
+        [..., F] -> dB.
+
+        noise_estimation selects the reference's estimator: "percentile"
+        (NoiseFloorPercentile=0.1 default), "median", "minimum" — a
+        20-bin sliding window over the magnitude spectrum, smoothed with
+        a 10-bin moving average."""
         f0 = estimate_f0_hps(magnitude, self.sample_rate, window_size,
                              self.params.min_freq, self.params.max_freq)
         n_bins = magnitude.shape[-1]
         freq_res = self.sample_rate / float(window_size)
         power = magnitude * magnitude
-        noise_floor = jnp.median(power, axis=-1)
+        floor = local_noise_floor(
+            magnitude, method=noise_estimation,
+            percentile=noise_floor_percentile,
+            smoothing_len=noise_floor_smoothing,
+        )
 
         h = jnp.arange(1, num_harmonics + 1, dtype=jnp.float32)
         bins = jnp.clip(
@@ -349,15 +361,91 @@ class HarmonicRatioAnalyzer:
         harm_power = jnp.take_along_axis(power, bins, axis=-1)
         valid = bins > 0
         harm = jnp.sum(jnp.where(valid, harm_power, 0.0), axis=-1)
-        # noise floor can be ~0 for strongly tonal frames (median of a
-        # sparse spectrum); floor it relative to the total power so the
-        # ratio stays finite, and cap HNR at 60 dB
+        # per-harmonic-bin local floor (squared: floor is in magnitude
+        # units, harmonic_ratio.go:802) as the noise estimate at those
+        # bins; floor it relative to total power so the ratio stays
+        # finite on sparse spectra, and cap HNR at +-60 dB
+        floor_power = jnp.take_along_axis(floor * floor, bins, axis=-1)
+        noise_est = jnp.sum(jnp.where(valid, floor_power, 0.0), axis=-1)
         total_power = jnp.sum(power, axis=-1)
-        noise = jnp.maximum(
-            noise_floor * jnp.sum(valid, axis=-1), total_power * 1e-6 + _EPS
-        )
+        noise = jnp.maximum(noise_est, total_power * 1e-6 + _EPS)
         hnr = 10.0 * jnp.log10(jnp.maximum(harm / noise, _EPS))
         return jnp.where(harm > 0, jnp.clip(hnr, -60.0, 60.0), 0.0)
+
+    def spectral_snr(
+        self, magnitude: jnp.ndarray, window_size: int,
+        noise_estimation: str = "percentile",
+        noise_floor_percentile: float = 0.1,
+        noise_floor_smoothing: int = 10,
+    ) -> jnp.ndarray:
+        """calculateSNR (harmonic_ratio.go:793-814): total in-range
+        signal power vs squared noise floor, dB (60 when floor is 0)."""
+        floor = local_noise_floor(
+            magnitude, method=noise_estimation,
+            percentile=noise_floor_percentile,
+            smoothing_len=noise_floor_smoothing,
+        )
+        n_bins = magnitude.shape[-1]
+        freqs = jnp.arange(n_bins) * (self.sample_rate / float(window_size))
+        in_range = (freqs >= self.params.min_freq) & (freqs <= self.params.max_freq)
+        sig = jnp.sum(jnp.where(in_range, magnitude * magnitude, 0.0), axis=-1)
+        noi = jnp.sum(jnp.where(in_range, floor * floor, 0.0), axis=-1)
+        return jnp.where(
+            noi > 0, 10.0 * jnp.log10(jnp.maximum(sig, _EPS) / jnp.maximum(noi, _EPS)),
+            60.0,
+        )
+
+
+def moving_average(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
+    """common.MovingAverage (common/math.go:140-165): expanding mean
+    over the first `window_size` points, trailing-window mean after.
+    [..., N] -> [..., N]; window_size <= 0 or > N returns x unchanged."""
+    n = x.shape[-1]
+    if window_size <= 0 or window_size > n:
+        return x
+    zero = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    csum = jnp.concatenate([zero, jnp.cumsum(x, axis=-1)], axis=-1)
+    i = jnp.arange(n)
+    lo = jnp.where(i < window_size, 0, i - window_size + 1)
+    cnt = jnp.where(i < window_size, i + 1, window_size).astype(x.dtype)
+    return (
+        jnp.take(csum, i + 1, axis=-1) - jnp.take(csum, lo, axis=-1)
+    ) / cnt
+
+
+def local_noise_floor(
+    magnitude: jnp.ndarray,
+    method: str = "percentile",
+    percentile: float = 0.1,
+    smoothing_len: int = 10,
+    window_bins: int = 20,
+) -> jnp.ndarray:
+    """Local-window noise-floor estimators (harmonic_ratio.go:650-705):
+    per-bin percentile / median (empirical quantile, as common.Percentile
+    -> gonum stat.Quantile(Empirical)) / minimum over the [i-W/2, i+W/2)
+    window, then common.MovingAverage smoothing. [..., F] -> [..., F].
+    """
+    f = magnitude.shape[-1]
+    half = window_bins // 2
+    i = jnp.arange(f)[:, None]
+    k = jnp.arange(window_bins)[None, :]
+    pos = i - half + k
+    valid = (pos >= 0) & (pos < f)                        # [F, W]
+    gathered = magnitude[..., jnp.clip(pos, 0, f - 1)]    # [..., F, W]
+    masked = jnp.where(valid, gathered, jnp.inf)
+    srt = jnp.sort(masked, axis=-1)
+    nv = jnp.sum(valid, axis=-1)                          # [F]
+    if method == "minimum":
+        floor = srt[..., 0]
+    else:
+        p = 0.5 if method == "median" else percentile
+        # gonum Empirical quantile: first sorted value with CDF >= p
+        idx = jnp.clip(jnp.ceil(p * nv).astype(jnp.int32) - 1, 0, nv - 1)
+        idx_b = jnp.broadcast_to(idx, srt.shape[:-1])
+        floor = jnp.take_along_axis(srt, idx_b[..., None], axis=-1)[..., 0]
+    if smoothing_len > 1:
+        floor = moving_average(floor, smoothing_len)
+    return floor
 
 
 # ---------------------------------------------------------------------

@@ -24,20 +24,30 @@ from sonido_sonar_tpu.fingerprint.generator import AudioFingerprint
 _EPS = 1e-10
 
 
-def pack_statistics(fp: AudioFingerprint) -> np.ndarray:
+def pack_statistics(fp: AudioFingerprint, num_mfcc_coeffs: int = 13) -> np.ndarray:
     """Reduce a fingerprint to the comparator's statistics vector.
 
     Layout: [mfcc mean+std (2C) | chroma mean (12, zeros if absent) |
     centroid/rolloff/flux (mean, std) pairs (6)] — the exact quantities
     the pairwise comparator cosines over, concatenated. Segment-wise
     cosine happens in `sharded_top_k_matches`, not over the raw concat.
+
+    num_mfcc_coeffs fixes the layout width; a fingerprint whose MFCC
+    width disagrees is an error (a mixed corpus cannot share a packed
+    matrix).
     """
     f = fp.features
     parts = []
     if f.mfcc is not None:
-        parts.append(extract_mfcc_statistics(np.asarray(f.mfcc, dtype=np.float64)))
+        mfcc = np.asarray(f.mfcc, dtype=np.float64)
+        if mfcc.shape[-1] != num_mfcc_coeffs:
+            raise ValueError(
+                f"fingerprint {fp.id} has {mfcc.shape[-1]} MFCC "
+                f"coefficients, packed layout expects {num_mfcc_coeffs}"
+            )
+        parts.append(extract_mfcc_statistics(mfcc))
     else:
-        parts.append(np.zeros(26))
+        parts.append(np.zeros(2 * num_mfcc_coeffs))
     if f.chroma_features is not None:
         parts.append(np.asarray(f.chroma_features, dtype=np.float64).mean(axis=0))
     else:
@@ -52,9 +62,22 @@ def pack_statistics(fp: AudioFingerprint) -> np.ndarray:
     return np.concatenate(parts).astype(np.float32)
 
 
-def fingerprint_matrix(fps: List[AudioFingerprint]) -> np.ndarray:
-    """[C, D] corpus matrix of packed statistics."""
-    return np.stack([pack_statistics(fp) for fp in fps])
+def corpus_mfcc_width(fps: List[AudioFingerprint], default: int = 13) -> int:
+    """MFCC coefficient count shared by a corpus (first one found)."""
+    for fp in fps:
+        if fp.features is not None and fp.features.mfcc is not None:
+            return int(np.asarray(fp.features.mfcc).shape[-1])
+    return default
+
+
+def fingerprint_matrix(
+    fps: List[AudioFingerprint], num_mfcc_coeffs: Optional[int] = None
+) -> np.ndarray:
+    """[C, D] corpus matrix of packed statistics. The MFCC width is
+    derived from the corpus unless given explicitly."""
+    if num_mfcc_coeffs is None:
+        num_mfcc_coeffs = corpus_mfcc_width(fps)
+    return np.stack([pack_statistics(fp, num_mfcc_coeffs) for fp in fps])
 
 
 def _segment_bounds(num_mfcc_coeffs: int = 13) -> Dict[str, Tuple[int, int]]:

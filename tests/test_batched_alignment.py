@@ -1,0 +1,187 @@
+"""Batched hybrid alignment vs the per-pair AlignmentAnalyzer.
+
+VERDICT round-1 item #3: the [B]-pair device program must produce the
+same offsets (and winner decisions) as the host-orchestrated hybrid
+path, with vectorized confidence/quality scoring.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonido_sonar_tpu.io.synth import harmonic_tone, shift_signal, white_noise
+from sonido_sonar_tpu.ops.stats.alignment import (
+    AlignmentAnalyzer,
+    correlation_confidence,
+    correlation_quality,
+    ncc_overlap,
+)
+from sonido_sonar_tpu.ops.stats.batched_alignment import (
+    batched_align_audio,
+    batched_hybrid_align,
+    correlation_confidence_batch,
+    correlation_quality_batch,
+    dtw_align_batch,
+    xcorr_align_batch,
+)
+from sonido_sonar_tpu.ops.temporal import short_time_energy
+
+SR = 8000
+WINDOW, HOP = 512, 128
+
+
+def _pair_energies(lag_samples, noise, seed, dur=6.0, gain=0.9):
+    src = (
+        harmonic_tone(220.0, dur, SR)
+        + white_noise(dur, SR, 0.05, seed=seed)
+    ).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    env = np.interp(
+        np.arange(len(src)), np.linspace(0, len(src), 48),
+        rng.uniform(0.1, 1.0, 48),
+    ).astype(np.float32)
+    src = src * env
+    cdn = shift_signal(src, lag_samples, noise=noise, gain=gain, seed=seed + 1)
+    e_src = short_time_energy(jnp.asarray(src), WINDOW, HOP)
+    e_cdn = short_time_energy(jnp.asarray(cdn), WINDOW, HOP)
+    return src, cdn, np.asarray(e_src), np.asarray(e_cdn)
+
+
+def test_batched_scorers_match_host_scorers():
+    """The vectorized correlation confidence/quality equal the host
+    (goref-validated) scalar versions on real correlation results."""
+    cases = [(1000, 0.02, 3), (4000, 0.1, 4), (-2500, 0.05, 5), (137, 0.01, 6)]
+    max_lag = 200
+    for lag, noise, seed in cases:
+        _, _, eq, er = _pair_energies(lag, noise, seed)
+        corr = ncc_overlap(jnp.asarray(eq), jnp.asarray(er), max_lag)
+        host_conf = correlation_confidence(corr)
+        host_q = correlation_quality(corr, max_lag)
+        batch_conf = float(
+            correlation_confidence_batch(
+                corr.peak_correlation, corr.sharpness, corr.peak_to_sidelobe,
+                corr.snr, corr.second_peak,
+            )
+        )
+        batch_q = float(
+            correlation_quality_batch(
+                corr.peak_correlation, corr.sharpness, corr.peak_to_sidelobe,
+                corr.snr, corr.peak_lag, max_lag,
+            )
+        )
+        assert batch_conf == pytest.approx(host_conf, abs=1e-5)
+        assert batch_q == pytest.approx(host_q, abs=1e-5)
+
+
+def test_xcorr_batch_offsets_match_per_pair():
+    lags = [137, 1000, 2500, -1800]
+    energies = [_pair_energies(lag, 0.02, 10 + i) for i, lag in enumerate(lags)]
+    eq = np.stack([e[2] for e in energies])
+    er = np.stack([e[3] for e in energies])
+    max_lag = eq.shape[-1] // 2
+    out = xcorr_align_batch(
+        jnp.asarray(eq), jnp.asarray(er), max_lag, HOP,
+        eq.shape[-1], er.shape[-1],
+    )
+    analyzer = AlignmentAnalyzer(
+        method="correlation", max_lag=max_lag, sample_rate=SR,
+        hop_size=HOP, window_size=WINDOW,
+    )
+    for i in range(len(lags)):
+        res = analyzer.align_features(
+            jnp.asarray(eq[i])[:, None], jnp.asarray(er[i])[:, None], SR
+        )
+        assert int(out["offset_samples"][i]) == res.offset, lags[i]
+        assert float(out["confidence"][i]) == pytest.approx(res.confidence, abs=1e-5)
+        assert float(out["similarity"][i]) == pytest.approx(res.similarity, abs=1e-5)
+        assert float(out["quality"][i]) == pytest.approx(
+            res.alignment_quality, abs=1e-5)
+
+
+def test_dtw_batch_matches_per_pair():
+    """Banded DTW batch scoring vs the analyzer's DTW path on equal-band
+    configurations."""
+    lags = [10, 40]
+    seqs = []
+    rng = np.random.default_rng(20)
+    T = 256
+    for lag in lags:
+        base = rng.standard_normal(T).astype(np.float32).cumsum()
+        base = (base - base.mean()) / (base.std() + 1e-6)
+        ref = np.roll(base, lag)
+        seqs.append((base, ref))
+    q = np.stack([s[0] for s in seqs])
+    r = np.stack([s[1] for s in seqs])
+    band = 64
+    out = dtw_align_batch(jnp.asarray(q), jnp.asarray(r), band, HOP, T, T)
+
+    from sonido_sonar_tpu.ops.stats.dtw import dtw_align_banded
+    from sonido_sonar_tpu.ops.stats.alignment import (
+        dtw_confidence, dtw_quality, dtw_similarity, _offset_consistency,
+    )
+
+    for i in range(len(lags)):
+        dtw = dtw_align_banded(jnp.asarray(q[i]), jnp.asarray(r[i]), band)
+        L = int(dtw.path_length)
+        qi = np.asarray(dtw.path_qidx)[:L]
+        ri = np.asarray(dtw.path_ridx)[:L]
+        costs = np.asarray(dtw.path_cost)[:L]
+        interior = (qi > 0) & (ri > 0) & (qi < T - 1) & (ri < T - 1)
+        disp = ri - qi
+        want_offset = int(np.median(disp[interior])) * HOP
+        assert int(out["offset_samples"][i]) == want_offset, lags[i]
+        assert float(out["confidence"][i]) == pytest.approx(
+            dtw_confidence(dtw, qi, ri, costs), abs=1e-4)
+        assert float(out["similarity"][i]) == pytest.approx(
+            dtw_similarity(dtw, qi, ri, costs), abs=1e-4)
+        assert float(out["quality"][i]) == pytest.approx(
+            dtw_quality(dtw, qi, ri, costs), abs=1e-4)
+        assert float(out["offset_consistency"][i]) == pytest.approx(
+            _offset_consistency(dtw), abs=1e-6)
+
+
+def test_hybrid_batch_matches_per_pair_end_to_end():
+    """Full hybrid policy: offsets identical to AlignmentAnalyzer
+    (method='hybrid') across clean and noisy pairs."""
+    cases = [(137, 0.01), (1000, 0.05), (2500, 0.1), (-1800, 0.02)]
+    energies = [
+        _pair_energies(lag, noise, 30 + i)
+        for i, (lag, noise) in enumerate(cases)
+    ]
+    eq = np.stack([e[2] for e in energies])
+    er = np.stack([e[3] for e in energies])
+    # bounded search range, as the extractor sets from max_lag_seconds
+    # (full-range NCC over near-zero overlaps is degenerate by design)
+    max_lag = eq.shape[-1] // 2
+    out = batched_hybrid_align(eq, er, max_lag, HOP, SR, dtw_band=50)
+
+    analyzer = AlignmentAnalyzer(
+        method="hybrid", max_lag=max_lag, sample_rate=SR,
+        hop_size=HOP, window_size=WINDOW, dtw_band=50,
+    )
+    for i, (lag, noise) in enumerate(cases):
+        res = analyzer.align_features(
+            jnp.asarray(eq[i])[:, None], jnp.asarray(er[i])[:, None], SR
+        )
+        assert int(out["offset_samples"][i]) == res.offset, (lag, noise)
+        assert float(out["confidence"][i]) == pytest.approx(res.confidence, abs=1e-4)
+        assert float(out["similarity"][i]) == pytest.approx(res.similarity, abs=1e-4)
+        # recovered lag within one hop of ground truth
+        assert abs(int(out["offset_samples"][i]) - lag) <= HOP
+
+
+def test_batched_align_audio_with_refinement():
+    lags = [137, 1000]
+    pcm = [_pair_energies(lag, 0.01, 40 + i)[:2] for i, lag in enumerate(lags)]
+    q = np.stack([p[0] for p in pcm])
+    r = np.stack([p[1] for p in pcm])
+    out = batched_align_audio(
+        q, r, SR, window_size=WINDOW, hop_size=HOP,
+        max_lag_seconds=3.0, refine=True,
+    )
+    for i, lag in enumerate(lags):
+        assert abs(out["offset_samples"][i] - lag) <= HOP
+        # PHAT refinement reaches (near-)exact sample accuracy
+        assert abs(out["offset_seconds_refined"][i] * SR - lag) <= 2.0

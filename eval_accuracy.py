@@ -114,11 +114,172 @@ def run(sr: int = 44100, quick: bool = False, batched: bool = False) -> dict:
     return summary
 
 
+def run_extended(sr: int = 44100, quick: bool = False) -> dict:
+    """Hardened categorized sweep (VERDICT round-1 item #5): speech-like
+    and music-like sources, band-limited CDN simulation, SNR down to
+    0 dB, both offset signs, and time-stretch (clock-skew) cases scored
+    via estimate_time_stretch. Reports per-category within-one-hop rates
+    and a time-stretch error metric."""
+    import jax.numpy as jnp
+
+    from sonido_sonar_tpu.config.config import FeatureConfig
+    from sonido_sonar_tpu.extractors import AlignmentExtractor
+    from sonido_sonar_tpu.extractors.features import EnergyFeatures, ExtractedFeatures
+    from sonido_sonar_tpu.io.synth import (
+        band_limit,
+        harmonic_tone,
+        music_like,
+        shift_signal,
+        speech_like,
+        time_stretch,
+        white_noise,
+    )
+    from sonido_sonar_tpu.ops.chroma import chroma_from_magnitude
+    from sonido_sonar_tpu.ops.stft import stft
+    from sonido_sonar_tpu.ops.temporal import short_time_energy
+
+    rng = np.random.default_rng(7)
+    dur = 12.0
+    fc = FeatureConfig(sample_rate=sr, window_size=1024, hop_size=256)
+    ext = AlignmentExtractor(fc, max_lag_seconds=4.0)
+    hop_s = fc.hop_size / sr
+
+    def tone_src(seed):
+        base = harmonic_tone(220.0, dur, sr) + white_noise(dur, sr, 0.05, seed=seed)
+        env = np.interp(
+            np.arange(len(base)), np.linspace(0, len(base), 96),
+            rng.uniform(0.1, 1.0, 96),
+        )
+        return (base * env).astype(np.float32)
+
+    sources = {
+        "tone": tone_src(11),
+        "speech": speech_like(dur, sr, seed=12, random_syllables=True),
+        "music": music_like(dur, sr, seed=13),
+    }
+    lags = [0.1, 1.234] if quick else [0.1, 0.5, 1.234, 2.5]
+    lags = [int(s * sr) + 137 for s in lags]
+    lags += [-l for l in lags[:2]]  # both offset signs
+
+    def one_case(src, cdn, true_lag, verify_top_peaks=1):
+        feats = ext.align_audio_files(
+            jnp.asarray(src), jnp.asarray(cdn), sr,
+            verify_top_peaks=verify_top_peaks,
+        )
+        refined = ext.refine_offset_with_pcm(
+            jnp.asarray(src), jnp.asarray(cdn), sr, feats.temporal_offset
+        )
+        return (
+            abs(feats.temporal_offset - true_lag / sr),
+            abs(refined - true_lag / sr),
+            feats.offset_confidence,
+        )
+
+    categories: dict = {}
+
+    def record(cat, coarse, refined, conf):
+        c = categories.setdefault(cat, {"coarse": [], "refined": [], "conf": []})
+        c["coarse"].append(coarse)
+        c["refined"].append(refined)
+        c["conf"].append(conf)
+
+    for name, src in sources.items():
+        rms = float(np.sqrt(np.mean(src**2)))
+        for lag in lags:
+            # moderate degradation
+            cdn = shift_signal(src, lag, noise=0.05, gain=0.9)
+            record(name, *one_case(src, cdn, lag))
+            # 0 dB SNR: noise amplitude equals the signal RMS
+            cdn0 = shift_signal(src, lag, noise=rms, gain=0.9, seed=3)
+            record(f"{name}_snr0db", *one_case(src, cdn0, lag))
+        # band-limited CDN (codec simulation), moderate noise
+        band = (300.0, 3400.0) if name == "speech" else (50.0, 8000.0)
+        for lag in lags[:2]:
+            cdn = shift_signal(src, lag, noise=0.02, gain=0.9)
+            cdn = band_limit(cdn, sr, *band)
+            record(f"{name}_bandlimited", *one_case(src, cdn, lag))
+            # beyond-reference top-K PHAT disambiguation (periodic
+            # content makes the energy-correlation comb ambiguous)
+            record(
+                f"{name}_bandlimited_verified",
+                *one_case(src, cdn, lag, verify_top_peaks=5),
+            )
+
+    # time-stretch (clock skew): estimate_time_stretch via chroma DTW
+    stretch_errs = []
+    src = sources["music"]
+
+    def features_for(pcm):
+        mag = stft(jnp.asarray(pcm), fc.window_size, fc.hop_size,
+                   sample_rate=sr).magnitude
+        return ExtractedFeatures(
+            chroma_features=chroma_from_magnitude(mag, sr, fc.window_size),
+            energy_features=EnergyFeatures(
+                short_time_energy=short_time_energy(
+                    jnp.asarray(pcm), fc.window_size, fc.hop_size
+                )
+            ),
+        )
+
+    dtw_stretch_errs = []
+    for factor in ([0.99, 1.01] if quick else [0.98, 0.99, 1.005, 1.01, 1.02]):
+        cdn = time_stretch(src, factor)
+        qf, rf = features_for(src), features_for(cdn)
+        af = ext.extract_alignment_features(
+            qf, rf, jnp.asarray(src), jnp.asarray(cdn), sr,
+        )
+        # estimateTimeStretch semantics: query_span / reference_span
+        expected = 1.0 / factor
+        stretch_errs.append(abs(af.time_stretch - expected))
+        # DTW-slope path specifically (alignment.go:448-476): force the
+        # chroma-DTW alignment as "best" so the slope term is exercised
+        # (when correlation wins, upstream falls back to length ratio)
+        alignments = ext.perform_multi_feature_alignment(qf, rf, sr)
+        dtw_fa = alignments.get("dtw_chroma")
+        if dtw_fa is not None and dtw_fa.success:
+            est = ext.estimate_time_stretch(
+                dtw_fa, len(src) / sr, len(cdn) / sr
+            )
+            dtw_stretch_errs.append(abs(est - expected))
+        print(
+            f"[stretch] factor={factor} est={af.time_stretch:.4f} "
+            f"dtw_est={est if dtw_fa else float('nan'):.4f} "
+            f"expected~{expected:.4f}", file=sys.stderr,
+        )
+
+    out: dict = {"hop_ms": hop_s * 1000, "categories": {}}
+    for cat, c in categories.items():
+        co = np.array(c["coarse"])
+        re_ = np.array(c["refined"])
+        out["categories"][cat] = {
+            "cases": len(co),
+            "coarse_within_one_hop": float((co <= hop_s + 1e-6).mean()),
+            "refined_within_one_hop": float((re_ <= hop_s + 1e-6).mean()),
+            "refined_err_ms_median": float(np.median(re_) * 1000),
+            "mean_confidence": float(np.mean(c["conf"])),
+        }
+        print(f"[{cat}] {out['categories'][cat]}", file=sys.stderr)
+    out["time_stretch"] = {
+        "cases": len(stretch_errs),
+        "max_abs_error": float(np.max(stretch_errs)),
+        "median_abs_error": float(np.median(stretch_errs)),
+        "dtw_slope_max_abs_error": (
+            float(np.max(dtw_stretch_errs)) if dtw_stretch_errs else None
+        ),
+    }
+    return out
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sr", type=int, default=44100)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--batched", action="store_true")
+    ap.add_argument("--full", action="store_true",
+                    help="hardened categorized sweep (sources x degradations)")
     args = ap.parse_args()
-    summary = run(args.sr, args.quick, args.batched)
+    if args.full:
+        summary = run_extended(args.sr, args.quick)
+    else:
+        summary = run(args.sr, args.quick, args.batched)
     print(json.dumps(summary))

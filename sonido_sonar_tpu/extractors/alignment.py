@@ -272,6 +272,73 @@ class AlignmentExtractor:
         return result
 
     # ------------------------------------------------------------------
+    def _phat_refine(
+        self,
+        query_pcm: jnp.ndarray,
+        reference_pcm: jnp.ndarray,
+        sample_rate: int,
+        coarse_offset_seconds: float,
+        search_hops: int = 24,
+    ) -> Tuple[float, float]:
+        """GCC-PHAT refinement returning (refined_offset_seconds,
+        phat_peak_value). The peak value scores how well the PCM itself
+        supports the candidate — used to disambiguate periodic content."""
+        coarse = int(round(coarse_offset_seconds * sample_rate))
+        n1 = int(query_pcm.shape[-1])
+        n2 = int(reference_pcm.shape[-1])
+        start_q = max(0, -coarse)
+        start_r = max(0, coarse)
+        length = min(n1 - start_q, n2 - start_r)
+        if length < self.config.window_size * 4:
+            return coarse_offset_seconds, 0.0
+        q = jnp.asarray(query_pcm)[start_q : start_q + length]
+        r = jnp.asarray(reference_pcm)[start_r : start_r + length]
+        max_lag = max(search_hops * self.config.hop_size, 8)
+        n_fft = 1
+        while n_fft < length + max_lag:
+            n_fft <<= 1
+        f1 = jnp.fft.rfft(q, n=n_fft)
+        f2 = jnp.fft.rfft(r, n=n_fft)
+        cross = f1 * jnp.conj(f2)
+        # energy-weighted PHAT: bins with negligible cross-power carry
+        # no timing information (band-limited/codec audio zeroes whole
+        # bands) but plain whitening gives them full unit weight as
+        # random phases; the +delta soft floor keeps whitening where
+        # energy exists and mutes empty bins
+        mag = jnp.abs(cross)
+        delta = 1e-3 * jnp.mean(mag)
+        phat = cross / jnp.maximum(mag + delta, 1e-12)
+        cc = jnp.fft.irfft(phat, n=n_fft)
+        window = jnp.concatenate([cc[n_fft - max_lag :], cc[: max_lag + 1]])
+        idx = int(jnp.argmax(window))
+        residual = -(idx - max_lag)  # positive = reference (still) delayed
+        return (coarse + residual) / float(sample_rate), float(window[idx])
+
+    def verify_candidate_offsets(
+        self,
+        query_pcm: jnp.ndarray,
+        reference_pcm: jnp.ndarray,
+        sample_rate: int,
+        candidate_offsets_seconds,
+        search_hops: int = 24,
+    ) -> Tuple[float, float]:
+        """Pick the candidate coarse offset best supported by the PCM:
+        each candidate gets a GCC-PHAT pass and the highest whitened
+        peak wins (returns (refined_offset_seconds, peak_value)).
+
+        Beyond-reference capability: beat-periodic content makes the
+        energy-correlation comb ambiguous (near-equal peaks one beat
+        apart); the whitened PCM correlation is not, because waveform
+        phase/melody differ across beats."""
+        best_off, best_val = float(candidate_offsets_seconds[0]), -1.0
+        for cand in candidate_offsets_seconds:
+            off, val = self._phat_refine(
+                query_pcm, reference_pcm, sample_rate, float(cand), search_hops
+            )
+            if val > best_val:
+                best_off, best_val = off, val
+        return best_off, best_val
+
     def refine_offset_with_pcm(
         self,
         query_pcm: jnp.ndarray,
@@ -291,32 +358,10 @@ class AlignmentExtractor:
         (positive = reference delayed); exact-sample accuracy on clean
         streams — ~3 orders of magnitude inside the one-hop (5.8 ms)
         baseline budget."""
-        coarse = int(round(coarse_offset_seconds * sample_rate))
-        n1 = int(query_pcm.shape[-1])
-        n2 = int(reference_pcm.shape[-1])
-        # align windows: reference delayed by `coarse` -> compare
-        # query[t] with reference[t + coarse]
-        start_q = max(0, -coarse)
-        start_r = max(0, coarse)
-        length = min(n1 - start_q, n2 - start_r)
-        if length < self.config.window_size * 4:
-            return coarse_offset_seconds
-        q = jnp.asarray(query_pcm)[start_q : start_q + length]
-        r = jnp.asarray(reference_pcm)[start_r : start_r + length]
-        max_lag = max(search_hops * self.config.hop_size, 8)
-
-        n_fft = 1
-        while n_fft < length + max_lag:
-            n_fft <<= 1
-        f1 = jnp.fft.rfft(q, n=n_fft)
-        f2 = jnp.fft.rfft(r, n=n_fft)
-        cross = f1 * jnp.conj(f2)
-        phat = cross / jnp.maximum(jnp.abs(cross), 1e-12)
-        cc = jnp.fft.irfft(phat, n=n_fft)
-        window = jnp.concatenate([cc[n_fft - max_lag :], cc[: max_lag + 1]])
-        residual_lag = int(jnp.argmax(window)) - max_lag
-        residual = -residual_lag  # positive = reference (still) delayed
-        return (coarse + residual) / float(sample_rate)
+        return self._phat_refine(
+            query_pcm, reference_pcm, sample_rate, coarse_offset_seconds,
+            search_hops,
+        )[0]
 
     # ------------------------------------------------------------------
     def truncate_to_alignment_pcm(
@@ -371,9 +416,16 @@ class AlignmentExtractor:
         query_pcm: jnp.ndarray,
         reference_pcm: jnp.ndarray,
         sample_rate: int,
+        verify_top_peaks: int = 1,
     ) -> AlignmentFeatures:
         """AlignAudioFiles (alignment.go:489-553): energy-series hybrid
-        alignment without full feature extraction."""
+        alignment without full feature extraction.
+
+        verify_top_peaks > 1 enables a beyond-reference disambiguation
+        pass for (beat-)periodic content: the top-K energy-correlation
+        peaks each get a GCC-PHAT verification on the raw PCM and the
+        best-supported one wins (verify_candidate_offsets). Costs K
+        extra FFT passes; the default keeps the reference behavior."""
         q = short_time_energy(
             jnp.asarray(query_pcm, dtype=jnp.float32),
             self.config.window_size,
@@ -390,6 +442,29 @@ class AlignmentExtractor:
         )
         analyzer = self._analyzer("hybrid", max_lag_frames)
         res = analyzer.align_features(q[:, None], r[:, None], sample_rate)
+        if verify_top_peaks > 1 and res.cross_corr_result is not None:
+            corr = np.asarray(res.cross_corr_result.correlations)
+            lags = np.asarray(res.cross_corr_result.lags)
+            # top-K well-separated local peaks of |corr|
+            order = np.argsort(-np.abs(corr))
+            picked: list = []
+            min_sep = max(int(0.1 * sample_rate / self.config.hop_size), 2)
+            for i in order:
+                if len(picked) >= verify_top_peaks:
+                    break
+                if all(abs(int(lags[i]) - p) >= min_sep for p in picked):
+                    picked.append(int(lags[i]))
+            candidates = [
+                -p * self.config.hop_size / float(sample_rate) for p in picked
+            ]
+            if res.offset_seconds not in candidates:
+                candidates.append(res.offset_seconds)
+            best_off, _ = self.verify_candidate_offsets(
+                jnp.asarray(query_pcm), jnp.asarray(reference_pcm),
+                sample_rate, candidates,
+            )
+            res.offset = int(round(best_off * sample_rate))
+            res.offset_seconds = best_off
         fa = FeatureAlignment(res, "energy", True)
         return AlignmentFeatures(
             best_alignment=fa,

@@ -87,6 +87,7 @@ class TemporalFeatures:
     onset_mask: Optional[jnp.ndarray] = None  # [..., T_e-1] bool
     attack_time: Optional[jnp.ndarray] = None  # [..., T_e-1] (0 off-onset)
     envelope_shape: jnp.ndarray = None      # [..., T_env]
+    tempo_bpm: Optional[jnp.ndarray] = None  # scalar [...] (music extractor)
 
 
 @_register

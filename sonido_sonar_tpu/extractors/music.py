@@ -180,6 +180,10 @@ class MusicFeatureExtractor:
             # its own TODO) — exact parity
             attack_time=jnp.where(onset_mask, 0.01, 0.0),
             envelope_shape=T.rms_envelope(pcm, 512, 256),
+            # the music comparator weight table names tempo_estimation
+            # (music.go:159); the interval-histogram primary path
+            # (tempo_estimation.go:22-48) feeds it here
+            tempo_bpm=T.estimate_tempo(pcm, sr),
         )
 
     def _extract_energy(self, pcm, spec: STFTResult) -> EnergyFeatures:

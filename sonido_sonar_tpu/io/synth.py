@@ -60,7 +60,8 @@ def white_noise(
 
 
 def speech_like(
-    duration: float, sample_rate: int = 44100, f0: float = 120.0, seed: int = 0
+    duration: float, sample_rate: int = 44100, f0: float = 120.0, seed: int = 0,
+    random_syllables: bool = False,
 ) -> np.ndarray:
     """Voiced-speech proxy: a glottal pulse train (slightly jittered)
     driven through two formant resonators (700 Hz, 1800 Hz) plus a touch
@@ -89,7 +90,22 @@ def speech_like(
     x = resonate(resonate(src, 700.0), 1800.0, r=0.95)
     # slow amplitude modulation (syllable-ish) with pauses
     t = np.arange(n, dtype=np.float64) / sample_rate
-    env = 0.55 + 0.45 * np.sin(2 * np.pi * 2.5 * t)
+    if random_syllables:
+        # aperiodic syllable rhythm: random-length voiced bursts and
+        # pauses, smoothed — a strictly periodic envelope makes the
+        # energy series self-similar at the syllable period, which real
+        # speech is not (eval_accuracy relies on this realism)
+        env = np.zeros(n)
+        pos = 0
+        while pos < n:
+            burst = int(sample_rate * rng.uniform(0.12, 0.45))
+            gap = int(sample_rate * rng.uniform(0.03, 0.25))
+            env[pos: pos + burst] = rng.uniform(0.4, 1.0)
+            pos += burst + gap
+        kernel = np.hanning(max(int(0.03 * sample_rate), 3))
+        env = np.convolve(env, kernel / kernel.sum(), mode="same") + 0.1
+    else:
+        env = 0.55 + 0.45 * np.sin(2 * np.pi * 2.5 * t)
     x = x * env
     x /= np.max(np.abs(x)) + 1e-12
     return (0.5 * x).astype(np.float32)
@@ -110,3 +126,73 @@ def shift_signal(
         rng = np.random.default_rng(seed)
         y = y + noise * rng.standard_normal(len(x)).astype(np.float32)
     return y.astype(np.float32)
+
+
+def music_like(
+    duration: float, sample_rate: int = 44100, tempo_bpm: float = 110.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Music proxy: an I-V-vi-IV chord progression (triads of harmonic
+    tones with per-partial decay) over a percussive beat at `tempo_bpm`,
+    plus light noise. Exercises chroma/key/onset/tempo paths and gives
+    alignment a polyphonic, beat-structured source."""
+    rng = np.random.default_rng(seed)
+    n = int(duration * sample_rate)
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    x = np.zeros(n)
+
+    # chord roots (C major: C G Am F), midi -> Hz; every repetition gets
+    # a random octave voicing + a melody note so cycles are not
+    # sample-identical (real music is self-similar, not self-identical)
+    progression = [[60, 64, 67], [55, 59, 62], [57, 60, 64], [53, 57, 60]]
+    scale = [60, 62, 64, 65, 67, 69, 71, 72]
+    chord_len = int(2.0 * sample_rate)
+    for ci in range(0, n, chord_len):
+        chord = list(progression[(ci // chord_len) % len(progression)])
+        chord[rng.integers(0, len(chord))] += int(rng.choice([-12, 0, 12]))
+        chord.append(int(rng.choice(scale)) + 12)  # melody note
+        seg = slice(ci, min(ci + chord_len, n))
+        ts = t[seg] - t[seg.start]
+        for midi in chord:
+            f = 440.0 * 2.0 ** ((midi - 69) / 12.0)
+            for h in range(1, 5):
+                if f * h < sample_rate / 2:
+                    x[seg] += (
+                        np.sin(2 * np.pi * f * h * ts + rng.uniform(0, 2 * np.pi))
+                        * np.exp(-ts * (0.3 + 0.4 * h)) / (h * len(chord))
+                    )
+
+    # percussive beat: exponentially-decaying noise bursts on the grid
+    period = int(sample_rate * 60.0 / tempo_bpm)
+    burst = int(0.02 * sample_rate)
+    for start in range(0, n - burst, period):
+        x[start:start + burst] += (
+            0.8 * np.exp(-np.arange(burst) / (burst / 5))
+            * rng.standard_normal(burst)
+        )
+
+    x += 0.005 * rng.standard_normal(n)
+    x /= np.max(np.abs(x)) + 1e-12
+    return (0.6 * x).astype(np.float32)
+
+
+def band_limit(
+    x: np.ndarray, sample_rate: int, low_hz: float, high_hz: float
+) -> np.ndarray:
+    """FFT brickwall band-pass — a codec/CDN band-limiting proxy
+    (e.g. 300-3400 Hz telephone band, or a 128 kbps-style low-pass)."""
+    spec = np.fft.rfft(x.astype(np.float64))
+    freqs = np.fft.rfftfreq(len(x), 1.0 / sample_rate)
+    spec[(freqs < low_hz) | (freqs > high_hz)] = 0.0
+    return np.fft.irfft(spec, n=len(x)).astype(np.float32)
+
+
+def time_stretch(x: np.ndarray, factor: float) -> np.ndarray:
+    """Resample-style time stretch (factor > 1 -> longer/slower): the
+    clock-skew proxy for CDN streams. Linear interpolation."""
+    n_out = int(round(len(x) * factor))
+    src_pos = np.arange(n_out, dtype=np.float64) / factor
+    i0 = np.clip(src_pos.astype(np.int64), 0, len(x) - 1)
+    i1 = np.clip(i0 + 1, 0, len(x) - 1)
+    frac = src_pos - i0
+    return ((1.0 - frac) * x[i0] + frac * x[i1]).astype(np.float32)

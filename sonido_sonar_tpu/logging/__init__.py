@@ -136,3 +136,76 @@ def set_global_logger(logger: Logger) -> None:
     global _global_logger
     with _global_lock:
         _global_logger = logger
+
+
+class AppLoggerAdapter(Logger):
+    """Duck-typed adapter wrapping an application's own logger object —
+    the Python equivalent of the reference's reflection-based
+    LoggerFromAppLogger (logging/logging.go:129-263), which probes an
+    arbitrary logger for Debug/Info/Warn/Error methods at runtime.
+
+    Any object exposing some subset of debug/info/warning|warn/error/
+    critical|fatal (stdlib logging.Logger, structlog, loguru, ...) can
+    back the framework's structured logging; missing levels fall back to
+    `info`, and fields are appended key=value as the reference does.
+    """
+
+    def __init__(self, app_logger: Any, fields: Optional[Dict[str, Any]] = None):
+        self._app = app_logger
+        self._fields: Dict[str, Any] = dict(fields or {})
+
+    def _resolve(self, *names: str):
+        for name in names:
+            fn = getattr(self._app, name, None)
+            if callable(fn):
+                return fn
+        fn = getattr(self._app, "info", None)
+        return fn if callable(fn) else (lambda *_a, **_k: None)
+
+    def with_fields(self, **fields: Any) -> "AppLoggerAdapter":
+        merged = dict(self._fields)
+        merged.update(fields)
+        return AppLoggerAdapter(self._app, merged)
+
+    def with_context(self, context: Any) -> "AppLoggerAdapter":
+        return self.with_fields(context=context)
+
+    def with_component(self, component: str, function: str = "") -> "AppLoggerAdapter":
+        f = {"component": component}
+        if function:
+            f["function"] = function
+        return self.with_fields(**f)
+
+    def _emit(self, names, msg: str, extra: Mapping[str, Any]) -> None:
+        self._resolve(*names)(self._fmt(msg, extra))
+
+    def debug(self, msg: str, **fields: Any) -> None:
+        self._emit(("debug",), msg, fields)
+
+    def info(self, msg: str, **fields: Any) -> None:
+        self._emit(("info",), msg, fields)
+
+    def warn(self, msg: str, **fields: Any) -> None:
+        self._emit(("warning", "warn"), msg, fields)
+
+    def error(self, msg: str, **fields: Any) -> None:
+        self._emit(("error",), msg, fields)
+
+    def fatal(self, msg: str, **fields: Any) -> None:
+        self._emit(("critical", "fatal", "error"), msg, fields)
+        raise SystemExit(1)
+
+    def set_level(self, level: str) -> None:
+        set_level = getattr(self._app, "setLevel", None)
+        if callable(set_level):
+            import logging as _std
+
+            set_level(getattr(_std, level.upper(), _std.INFO))
+
+
+def logger_from_app_logger(app_logger: Any) -> Logger:
+    """LoggerFromAppLogger (logging.go:129-263): wrap any duck-typed
+    logger; None falls back to the default logger."""
+    if app_logger is None:
+        return new_default_logger()
+    return AppLoggerAdapter(app_logger)

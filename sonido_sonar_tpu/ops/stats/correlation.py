@@ -194,17 +194,27 @@ def cross_correlate_fft(
     return CorrelationResult(corr, lags, *metrics, max_lag=max_lag)
 
 
-def cross_correlate_pearson(
-    signal1: jnp.ndarray, signal2: jnp.ndarray, max_lag: int
-) -> CorrelationResult:
-    """Per-lag Pearson correlation over the overlap region
-    (correlation.go:314-371). O(L*N) but exactly matches the reference's
-    time-domain path; used for parity and for short feature series."""
-    n1, n2 = signal1.shape[-1], signal2.shape[-1]
-    max_lag = max(min(max_lag, n1 - 1, n2 - 1), 0)
+def _per_lag_overlap_correlations(
+    x1: jnp.ndarray, x2: jnp.ndarray, max_lag: int, kind: str
+) -> jnp.ndarray:
+    """Per-lag overlap correlations, kind in pearson | ncc | zncc —
+    computeAtLag's type dispatch (correlation.go:300-417).
+
+    Lag sign convention note (NOTE deviation): the reference's
+    time-domain path pairs x1[i] with x2[i+lag] at positive lag
+    (calculateOverlapRegion, correlation.go:419-447), which is the
+    OPPOSITE of its own FFT path (FFT1*conj(FFT2): x1[n]*x2[n-lag]).
+    We unify on the FFT convention for every method so peak lags mean
+    the same thing regardless of signal length; parity tests compare
+    against the Go time-domain math at the negated lag.
+    """
+    n1, n2 = x1.shape[-1], x2.shape[-1]
+    if kind == "zncc":
+        # subtractMean then NCC (correlation.go:410-417)
+        x1 = x1 - jnp.mean(x1, axis=-1, keepdims=True)
+        x2 = x2 - jnp.mean(x2, axis=-1, keepdims=True)
+        kind = "ncc"
     lags = jnp.arange(-max_lag, max_lag + 1, dtype=jnp.int32)
-    x1 = signal1.astype(jnp.float32)
-    x2 = signal2.astype(jnp.float32)
     n = max(n1, n2)
     i = jnp.arange(n)
 
@@ -214,17 +224,39 @@ def cross_correlate_pearson(
         valid = (i < n1) & (j2 >= 0) & (j2 < n2)
         v1 = jnp.where(valid, x1[..., jnp.clip(i, 0, n1 - 1)], 0.0)
         v2 = jnp.where(valid, x2[..., jnp.clip(j2, 0, n2 - 1)], 0.0)
-        cnt = jnp.maximum(jnp.sum(valid), 1)
-        m1 = jnp.sum(v1, axis=-1) / cnt
-        m2 = jnp.sum(v2, axis=-1) / cnt
-        d1 = jnp.where(valid, v1 - m1[..., None], 0.0)
-        d2 = jnp.where(valid, v2 - m2[..., None], 0.0)
-        num = jnp.sum(d1 * d2, axis=-1)
-        den = jnp.sqrt(jnp.sum(d1 * d1, axis=-1) * jnp.sum(d2 * d2, axis=-1))
+        if kind == "pearson":
+            cnt = jnp.maximum(jnp.sum(valid), 1)
+            m1 = jnp.sum(v1, axis=-1) / cnt
+            m2 = jnp.sum(v2, axis=-1) / cnt
+            v1 = jnp.where(valid, v1 - m1[..., None], 0.0)
+            v2 = jnp.where(valid, v2 - m2[..., None], 0.0)
+        num = jnp.sum(v1 * v2, axis=-1)
+        den = jnp.sqrt(jnp.sum(v1 * v1, axis=-1) * jnp.sum(v2 * v2, axis=-1))
         c = jnp.where(den < _MIN_STD, 0.0, num / jnp.maximum(den, _MIN_STD))
-        return jnp.clip(c, -1.0, 1.0)
+        if kind == "pearson":
+            c = jnp.clip(c, -1.0, 1.0)
+        return c
 
-    corr = jax.vmap(at_lag, out_axes=-1)(lags)
+    return jax.vmap(at_lag, out_axes=-1)(lags)
+
+
+def cross_correlate_pearson(
+    signal1: jnp.ndarray, signal2: jnp.ndarray, max_lag: int,
+    correlation_type: str = "pearson",
+) -> CorrelationResult:
+    """Per-lag correlation over the overlap region — the reference's
+    time-domain/sliding-window path (correlation.go:203-229, 293-417;
+    computeSlidingWindow delegates to computeTimeDomain upstream).
+    O(L*N); exact local normalization per lag. correlation_type:
+    "pearson" (local means + stds), "ncc" (raw energy normalization),
+    "zncc" (whole-signal mean removal then ncc)."""
+    n1, n2 = signal1.shape[-1], signal2.shape[-1]
+    max_lag = max(min(max_lag, n1 - 1, n2 - 1), 0)
+    lags = jnp.arange(-max_lag, max_lag + 1, dtype=jnp.int32)
+    corr = _per_lag_overlap_correlations(
+        signal1.astype(jnp.float32), signal2.astype(jnp.float32),
+        max_lag, correlation_type,
+    )
     metrics = _peak_metrics(corr, max_lag, n1, n2)
     return CorrelationResult(corr, lags, *metrics, max_lag=max_lag)
 
@@ -236,15 +268,22 @@ def cross_correlate(
     method: str = "auto",
     normalize_inputs: bool = True,
     fft_threshold: int = 1000,
+    correlation_type: str = "pearson",
 ) -> CorrelationResult:
     """Method dispatch mirroring CrossCorrelation.Compute
     (correlation.go:131-200): auto switches to FFT when either signal
-    exceeds fft_threshold samples."""
+    exceeds fft_threshold samples; "sliding" is the time-domain per-lag
+    path with local normalization (computeSlidingWindow delegates to it
+    upstream, correlation.go:293-297). correlation_type selects the
+    per-lag normalization for the time/sliding path
+    (pearson | ncc | zncc, correlation.go:300-417)."""
     n = max(signal1.shape[-1], signal2.shape[-1])
     if method == "fft" or (method == "auto" and n > fft_threshold):
         return cross_correlate_fft(signal1, signal2, max_lag, normalize_inputs)
     if method in ("time", "auto", "sliding"):
-        return cross_correlate_pearson(signal1, signal2, max_lag)
+        return cross_correlate_pearson(
+            signal1, signal2, max_lag, correlation_type
+        )
     raise ValueError(f"unknown correlation method {method}")
 
 

@@ -195,8 +195,15 @@ class STFTStreamer:
     """Streaming STFT with an internal ring buffer.
 
     Reference parity: analyzers/spectral.go:289-374 (ComputeSTFTStreaming).
-    Host-side buffering; each flush runs the batched jitted stft on the
-    accumulated whole frames and keeps the tail for the next push.
+
+    Two modes:
+    - block_frames == 0 (legacy): every push consumes all complete
+      frames immediately. Each distinct chunk length compiles a new
+      program — fine for offline use.
+    - block_frames > 0 (streaming monitors): frames are emitted in
+      fixed blocks so exactly ONE shape ever compiles; `flush()` drains
+      the sub-block remainder at end of stream. This is the
+      single-compile treatment the LatencyMonitor path uses.
     """
 
     def __init__(
@@ -205,25 +212,16 @@ class STFTStreamer:
         hop_size: int = 512,
         window_type: WindowType = WindowType.HANN,
         sample_rate: int = 44100,
+        block_frames: int = 0,
     ):
         self.window_size = window_size
         self.hop_size = hop_size
         self.window_type = window_type
         self.sample_rate = sample_rate
+        self.block_frames = block_frames
         self._buffer = np.zeros(0, dtype=np.float32)
 
-    def push(self, samples: np.ndarray) -> Optional[STFTResult]:
-        """Append samples; return STFT of all complete frames, if any."""
-        self._buffer = np.concatenate(
-            [self._buffer, np.asarray(samples, dtype=np.float32)]
-        )
-        t = num_frames(len(self._buffer), self.window_size, self.hop_size)
-        if t == 0:
-            return None
-        used = (t - 1) * self.hop_size + self.window_size
-        chunk = self._buffer[:used]
-        # keep unconsumed tail: next frame starts at t*hop
-        self._buffer = self._buffer[t * self.hop_size :]
+    def _run(self, chunk: np.ndarray) -> STFTResult:
         return stft(
             jnp.asarray(chunk),
             self.window_size,
@@ -231,6 +229,57 @@ class STFTStreamer:
             self.window_type,
             self.sample_rate,
         )
+
+    def push(self, samples: np.ndarray) -> Optional[STFTResult]:
+        """Append samples; return the STFT of newly completed frames
+        (all complete frames in legacy mode, whole blocks in block
+        mode), or None if not enough data yet."""
+        self._buffer = np.concatenate(
+            [self._buffer, np.asarray(samples, dtype=np.float32)]
+        )
+        if self.block_frames > 0:
+            b = self.block_frames
+            block_samples = (b - 1) * self.hop_size + self.window_size
+            results = []
+            while len(self._buffer) >= block_samples:
+                results.append(self._run(self._buffer[:block_samples]))
+                self._buffer = self._buffer[b * self.hop_size :]
+            if not results:
+                return None
+            if len(results) == 1:
+                return results[0]
+            def _cat(parts):
+                return (
+                    jnp.concatenate(parts, axis=0)
+                    if all(p is not None for p in parts) else None
+                )
+
+            return STFTResult(
+                magnitude=_cat([r.magnitude for r in results]),
+                phase=_cat([r.phase for r in results]),
+                complex_spec=_cat([r.complex_spec for r in results]),
+                sample_rate=self.sample_rate,
+                window_size=self.window_size,
+                hop_size=self.hop_size,
+            )
+        t = num_frames(len(self._buffer), self.window_size, self.hop_size)
+        if t == 0:
+            return None
+        used = (t - 1) * self.hop_size + self.window_size
+        chunk = self._buffer[:used]
+        # keep unconsumed tail: next frame starts at t*hop
+        self._buffer = self._buffer[t * self.hop_size :]
+        return self._run(chunk)
+
+    def flush(self) -> Optional[STFTResult]:
+        """Drain remaining complete frames (block mode's sub-block tail)."""
+        t = num_frames(len(self._buffer), self.window_size, self.hop_size)
+        if t == 0:
+            return None
+        used = (t - 1) * self.hop_size + self.window_size
+        chunk = self._buffer[:used]
+        self._buffer = self._buffer[t * self.hop_size :]
+        return self._run(chunk)
 
     def reset(self) -> None:
         self._buffer = np.zeros(0, dtype=np.float32)

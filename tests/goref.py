@@ -625,6 +625,90 @@ def classify_match(similarity: float) -> str:
 
 
 # ---------------------------------------------------------------------
+# stats/correlation.go per-lag overlap correlations (time-domain /
+# sliding-window path)
+# ---------------------------------------------------------------------
+
+def _overlap_region(len1: int, len2: int, lag: int) -> Tuple[int, int, int, int]:
+    """calculateOverlapRegion (correlation.go:419-447)."""
+    if lag >= 0:
+        start1, end1 = 0, len1
+        start2, end2 = lag, len2
+        if end1 > len2 - lag:
+            end1 = len2 - lag
+        if end2 > len2:
+            end2 = len2
+    else:
+        start1, end1 = -lag, len1
+        start2, end2 = 0, len2
+        if end1 > len1:
+            end1 = len1
+        if end2 > len1 + lag:
+            end2 = len1 + lag
+    return start1, end1, start2, end2
+
+
+def pearson_at_lag(s1: Sequence[float], s2: Sequence[float], lag: int,
+                   min_std: float = 1e-10) -> float:
+    """pearsonCorrelation (correlation.go:314-371). NOTE: the Go
+    time-domain lag sign pairs s1[i] with s2[i+lag] at positive lag —
+    opposite to its FFT path; callers comparing with the unified
+    (FFT-convention) implementation must negate the lag."""
+    start1, end1, start2, end2 = _overlap_region(len(s1), len(s2), lag)
+    overlap = min(end1 - start1, end2 - start2)
+    if overlap <= 1:
+        return 0.0
+    v1, v2 = [], []
+    for i in range(overlap):
+        i1, i2 = start1 + i, start2 + i
+        if 0 <= i1 < len(s1) and 0 <= i2 < len(s2):
+            v1.append(s1[i1])
+            v2.append(s2[i2])
+    if not v1:
+        return 0.0
+    m1 = sum(v1) / len(v1)
+    m2 = sum(v2) / len(v2)
+    num = sum((a - m1) * (b - m2) for a, b in zip(v1, v2))
+    s1sq = sum((a - m1) ** 2 for a in v1)
+    s2sq = sum((b - m2) ** 2 for b in v2)
+    den = math.sqrt(s1sq * s2sq)
+    if den < min_std:
+        return 0.0
+    return max(-1.0, min(1.0, num / den))
+
+
+def ncc_at_lag(s1: Sequence[float], s2: Sequence[float], lag: int,
+               min_std: float = 1e-10) -> float:
+    """normalizedCrossCorrelation (correlation.go:373-408)."""
+    start1, end1, start2, end2 = _overlap_region(len(s1), len(s2), lag)
+    overlap = min(end1 - start1, end2 - start2)
+    if overlap <= 0:
+        return 0.0
+    num = s1sq = s2sq = 0.0
+    count = 0
+    for i in range(overlap):
+        i1, i2 = start1 + i, start2 + i
+        if 0 <= i1 < len(s1) and 0 <= i2 < len(s2):
+            num += s1[i1] * s2[i2]
+            s1sq += s1[i1] * s1[i1]
+            s2sq += s2[i2] * s2[i2]
+            count += 1
+    if count == 0:
+        return 0.0
+    den = math.sqrt(s1sq * s2sq)
+    if den < min_std:
+        return 0.0
+    return num / den
+
+
+def zncc_at_lag(s1: Sequence[float], s2: Sequence[float], lag: int) -> float:
+    """zeroNormalizedCrossCorrelation (correlation.go:410-417)."""
+    m1 = sum(s1) / len(s1)
+    m2 = sum(s2) / len(s2)
+    return ncc_at_lag([a - m1 for a in s1], [b - m2 for b in s2], lag)
+
+
+# ---------------------------------------------------------------------
 # tonal/harmonic_ratio.go noise-floor estimators + SNR
 # ---------------------------------------------------------------------
 

@@ -113,3 +113,22 @@ def test_method_switch_changes_hnr_on_colored_noise():
     }
     # minimum floor < percentile(0.1) floor < median floor => HNR ordering
     assert vals["minimum"] > vals["percentile"] > vals["median"], vals
+
+
+def test_hnr_mask_split_methods():
+    """comb/hnr method: harmonic-mask energy split (analyzeHNR fallback,
+    harmonic_ratio.go:456-461) — high for a harmonic tone, low for
+    white noise, frame path agrees with the spectrum path."""
+    from sonido_sonar_tpu.ops.framing import frame_signal
+    import jax.numpy as jnp
+
+    analyzer = HarmonicRatioAnalyzer(SR, method="comb", min_f0=80.0, max_f0=500.0)
+    tone = _tone_plus_noise(0.02, seed=1)
+    rng = np.random.default_rng(2)
+    noise = rng.standard_normal(SR * 2).astype(np.float32)
+    frames_t = frame_signal(jnp.asarray(tone), WINDOW, 512)
+    frames_n = frame_signal(jnp.asarray(noise), WINDOW, 512)
+    res_t = analyzer.analyze_frames(frames_t)
+    res_n = analyzer.analyze_frames(frames_n)
+    assert float(jnp.median(res_t.harmonic_ratio)) > float(jnp.median(res_n.harmonic_ratio)) + 10.0
+    assert float(jnp.median(res_t.harmonic_ratio)) > 10.0

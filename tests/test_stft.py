@@ -145,3 +145,24 @@ def test_spectral_flux_all_changes():
     assert hw[0] == ac[0] == 0.0
     assert hw[1] == 0.0 and ac[1] > 0.0      # pure decrease
     assert np.isclose(hw[2], ac[2])          # pure increase
+
+
+def test_streamer_block_mode_single_compile_shape():
+    """Block mode emits fixed-size blocks (one compiled shape) and
+    flush() drains the tail; total equals the batch STFT."""
+    x = white_noise(0.6, SR, seed=8)
+    full = np.asarray(stft(jnp.asarray(x), 1024, 256).magnitude)
+    s = STFTStreamer(1024, 256, block_frames=16)
+    parts = []
+    for c in np.array_split(x, 11):
+        r = s.push(c)
+        if r is not None:
+            parts.append(np.asarray(r.magnitude))
+    tail = s.flush()
+    if tail is not None:
+        parts.append(np.asarray(tail.magnitude))
+    # every non-tail block has exactly 16 frames
+    assert all(p.shape[0] % 16 == 0 for p in parts[:-1])
+    got = np.concatenate(parts, axis=0)
+    assert got.shape[0] == full.shape[0]
+    np.testing.assert_allclose(got, full, atol=1e-4)

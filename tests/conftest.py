@@ -22,6 +22,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -29,3 +31,17 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+# Every compiled XLA:CPU executable holds several mmap'd code pages and
+# they accumulate for the life of the process. The full suite compiles
+# tens of thousands of tiny programs (randomized-shape parity sweeps),
+# which exhausts vm.max_map_count (65530 here) and crashes the process
+# with SIGSEGV inside pjit. Dropping the executable caches between
+# modules bounds the live-mapping count; recompilation cost is small
+# compared to the crash.
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
+    gc.collect()

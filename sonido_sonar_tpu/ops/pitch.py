@@ -42,10 +42,11 @@ def _yin_dft_mats(w: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     its first half, and the truncated inverse producing r(tau), tau < h.
     """
     h = w // 2
-    # exact transform length w + h: the DFT matmul needs no power-of-two
-    # size, and circular wraparound cannot occur for tau < h — 25% fewer
-    # columns than the next pow2
-    n_fft = w + h
+    # transform length w: circular correlation of length n equals the
+    # linear correlation for every needed lag as long as j + tau never
+    # wraps, and max(j + tau) = (h-1) + (h-1) = w - 2 < w — so length w
+    # (not w + h) suffices, a 33% flop cut at bit-identical math
+    n_fft = w
     f_bins = n_fft // 2 + 1
     k = np.arange(f_bins, dtype=np.float64)[None, :]
 
@@ -135,8 +136,9 @@ def _yin_difference(frames: jnp.ndarray) -> jnp.ndarray:
             precision=jax.lax.Precision.HIGH,
         )
     else:
+        # circular length >= w - 1 is exact for tau < h (see _yin_dft_mats)
         n_fft = 1
-        while n_fft < w + h:
+        while n_fft < w - 1:
             n_fft <<= 1
         fx = jnp.fft.rfft(x, n=n_fft, axis=-1)
         ff = jnp.fft.rfft(first, n=n_fft, axis=-1)

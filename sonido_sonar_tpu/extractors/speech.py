@@ -225,12 +225,10 @@ class SpeechFeatureExtractor:
     def _extract_speech(self, pcm: jnp.ndarray, sr: int) -> SpeechFeatures:
         """speech.go:278-317 + helpers."""
         cfg = self.config
-        if pcm.ndim >= 2:
-            # analyze_speech is a single-clip analysis (one formant
-            # window per signal, format.go:85-122) — vmap over batches
-            analysis = jax.vmap(lambda x: SP.analyze_speech(x, sr))(pcm)
-        else:
-            analysis = SP.analyze_speech(pcm, sr)
+        # analyze_speech is batch-clean (it vmaps only the single-window
+        # formant analysis internally) — no outer vmap, so the
+        # voice-quality YIN track reaches the Pallas kernel on TPU
+        analysis = SP.analyze_speech(pcm, sr)
         is_speech = analysis.is_speech
 
         # frame-by-frame voicing + tilt at fixed 1024/512 (speech.go:530-585)

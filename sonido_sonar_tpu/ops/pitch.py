@@ -158,16 +158,11 @@ def _cmndf(diff: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([one, cm], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("params",))
-def yin_pitch(
-    frames: jnp.ndarray, params: PitchParams = PitchParams()
+def _yin_pick(
+    d: jnp.ndarray, params: PitchParams
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """YIN over frames [..., W] -> (pitch_hz, confidence, voicing), each [...].
-
-    Unvoiced / out-of-range frames get pitch 0, confidence 0 — matching
-    the reference's empty result (pitch_detection.go:392-421).
-    """
-    d = _yin_difference(frames)
+    """CMNDF + threshold pick + parabolic interpolation + validation
+    over difference rows d [..., H] (pitch_detection.go:365-421)."""
     cm = _cmndf(d)
     h = cm.shape[-1]
 
@@ -198,6 +193,45 @@ def yin_pitch(
     pitch = jnp.where(ok, freq, 0.0)
     conf = jnp.where(ok, confidence, 0.0)
     return pitch, conf, conf  # Voicing = confidence (pitch_detection.go:405)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def yin_pitch(
+    frames: jnp.ndarray, params: PitchParams = PitchParams()
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """YIN over frames [..., W] -> (pitch_hz, confidence, voicing), each [...].
+
+    Unvoiced / out-of-range frames get pitch 0, confidence 0 — matching
+    the reference's empty result (pitch_detection.go:392-421).
+    """
+    return _yin_pick(_yin_difference(frames), params)
+
+
+def yin_pitch_from_signal(
+    signal: jnp.ndarray,
+    frame_size: int,
+    hop_size: int,
+    params: PitchParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Frame-wise YIN straight from PCM [..., N] -> each [..., T].
+
+    On TPU this routes through the fused Pallas kernel (framing + DFT
+    matmuls + difference function in VMEM; the [.., T, W] frames tensor
+    never exists in HBM — ops/pallas_yin.py); elsewhere it frames and
+    runs the XLA path. Same (pitch, confidence, voicing) contract as
+    yin_pitch.
+    """
+    from sonido_sonar_tpu.ops.framing import frame_signal
+    from sonido_sonar_tpu.ops.pallas_yin import (
+        pallas_yin_available,
+        yin_difference_pallas,
+    )
+
+    if pallas_yin_available(frame_size, hop_size) and signal.ndim in (1, 2):
+        d = yin_difference_pallas(signal, frame_size, hop_size)
+        return _yin_pick(d, params)
+    frames = frame_signal(signal, frame_size, hop_size)
+    return yin_pitch(frames, params)
 
 
 def acf_pitch(
@@ -242,11 +276,8 @@ def detect_pitch_track(
     The fixed 1024/512 framing matches the extractors' hardcoded values
     (extractors/speech.go:468-469 — reference quirk #8, preserved as the
     default but configurable here)."""
-    from sonido_sonar_tpu.ops.framing import frame_signal
-
     p = params or PitchParams(sample_rate=sample_rate, window_size=frame_size)
-    frames = frame_signal(pcm, frame_size, hop_size)
-    return yin_pitch(frames, p)
+    return yin_pitch_from_signal(pcm, frame_size, hop_size, p)
 
 
 def median_filter_pitch(pitch: jnp.ndarray, width: int = 5) -> jnp.ndarray:

@@ -361,22 +361,31 @@ def analyze_voice_quality(
     framing) with masked statistics — same jitter/shimmer definitions
     over a slightly different period sampling.
     """
-    from sonido_sonar_tpu.ops.framing import frame_signal
+    from sonido_sonar_tpu.ops.framing import num_frames
+    from sonido_sonar_tpu.ops.pitch import yin_pitch_from_signal
 
     frame_size, hop = 1024, 256
-    frames = frame_signal(signal, frame_size, hop)
     params = PitchParams(sample_rate=sample_rate, window_size=frame_size,
                          min_freq=min_f0, max_freq=max_f0)
-    pitch, conf, voicing = yin_pitch(frames, params)
+    pitch, conf, voicing = yin_pitch_from_signal(
+        signal, frame_size, hop, params
+    )
     voiced = (voicing > 0.5) & (conf > 0.5) & (pitch >= min_f0) & (pitch <= max_f0)
 
     period_len = jnp.where(voiced, sample_rate / jnp.maximum(pitch, _EPS), 0.0)
-    # period RMS amplitude ~ frame RMS over the period samples; use the
-    # first `period` samples of each frame via cumsum of squares
-    sq = frames * frames
-    csum = jnp.cumsum(sq, axis=-1)
+    # period RMS amplitude ~ RMS over the first `period` samples of each
+    # frame, via a GLOBAL cumsum of squares (two gathers per frame — the
+    # [.., T, W] frames tensor is never materialized)
+    x32 = signal.astype(jnp.float32)
+    t_frames = num_frames(x32.shape[-1], frame_size, hop)
+    csum0 = jnp.concatenate(
+        [jnp.zeros_like(x32[..., :1]), jnp.cumsum(x32 * x32, axis=-1)], axis=-1
+    )
+    starts = jnp.arange(t_frames, dtype=jnp.int32) * hop
     plen_idx = jnp.clip(period_len.astype(jnp.int32), 1, frame_size - 1)
-    psum = jnp.take_along_axis(csum, plen_idx[..., None], axis=-1)[..., 0]
+    psum = jnp.take_along_axis(
+        csum0, starts + plen_idx, axis=-1
+    ) - jnp.take_along_axis(csum0, jnp.broadcast_to(starts, plen_idx.shape), axis=-1)
     amp = jnp.sqrt(psum / jnp.maximum(plen_idx.astype(jnp.float32), 1.0))
 
     num_periods = jnp.sum(voiced, axis=-1)
@@ -538,9 +547,21 @@ class SpeechAnalysisResult:
 
 
 def analyze_speech(signal: jnp.ndarray, sample_rate: int) -> SpeechAnalysisResult:
-    """AnalyzeSpeech facade (speech_analysis.go:50-98)."""
+    """AnalyzeSpeech facade (speech_analysis.go:50-98).
+
+    Batch-clean over leading axes: detect_speech / analyze_voice_quality
+    are batched ops (the voice-quality pitch track routes through the
+    fused Pallas YIN kernel on TPU); only the single-window formant
+    analysis is vmapped."""
     is_speech = detect_speech(signal, sample_rate)
-    formants = analyze_formants(signal, sample_rate)
+    if signal.ndim == 1:
+        formants = analyze_formants(signal, sample_rate)
+    else:
+        flat = signal.reshape(-1, signal.shape[-1])
+        formants = jax.vmap(lambda s: analyze_formants(s, sample_rate))(flat)
+        formants = jax.tree_util.tree_map(
+            lambda a: a.reshape(signal.shape[:-1] + a.shape[1:]), formants
+        )
     vq = analyze_voice_quality(signal, sample_rate)
 
     # intelligibility (speech_analysis.go:228-268, simplified scoring

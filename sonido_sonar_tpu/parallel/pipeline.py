@@ -70,9 +70,13 @@ def batched_fingerprint_features(
 
     use_pallas = pallas_stft_available(window_size, hop_size)
     if use_pallas:
-        # fused framing+DFT+magnitude kernel: the [B, T, W] frames tensor
-        # never exists in HBM
-        mag = stft_magnitude_pallas(x, window_size, hop_size, window_type)
+        # fused framing+DFT+magnitude kernel with the RMS/ZCR epilogue:
+        # the [B, T, W] frames tensor never exists in HBM, and the two
+        # full-signal cumsum programs the prefix formulations needed
+        # (~20 passes each) are gone
+        mag, rms, zc = stft_magnitude_pallas(
+            x, window_size, hop_size, window_type, with_aux=True
+        )
     else:
         mag = stft(x, window_size, hop_size, window_type, sample_rate).magnitude
 
@@ -90,9 +94,8 @@ def batched_fingerprint_features(
         out["spectral_contrast"] = S.spectral_contrast(mag, sample_rate, 6)
 
     if use_pallas:
-        # prefix-sum formulations: O(N), no frames tensor
-        out["zcr"] = S.zcr_from_signal(x, window_size, hop_size, sample_rate)
-        rms = T.short_time_energy_cumsum(x, window_size, hop_size)
+        # from the kernel epilogue: crossings/sec like ops.spectral.zcr
+        out["zcr"] = zc / (window_size / float(sample_rate))
     else:
         frames = frame_signal(x, window_size, hop_size)
         out["zcr"] = S.zcr(frames, sample_rate)

@@ -27,6 +27,30 @@ def test_pallas_1d_input():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+def test_aux_epilogue_interpret():
+    """with_aux returns frame-local RMS + zero-crossing counts equal to
+    the framed-signal definitions."""
+    from sonido_sonar_tpu.ops.framing import frame_signal
+    from sonido_sonar_tpu.ops.spectral import zero_crossings
+
+    x = (sine(440, 1.0, SR) + white_noise(1.0, SR, 0.05)).astype(np.float32)
+    xb = jnp.asarray(np.stack([x, x * 0.3]))
+    mag, rms, zc = stft_magnitude_pallas(
+        xb, 1024, 256, interpret=True, with_aux=True
+    )
+    ref_mag = stft_magnitude_pallas(xb, 1024, 256, interpret=True)
+    np.testing.assert_allclose(np.asarray(mag), np.asarray(ref_mag))
+    frames = frame_signal(xb, 1024, 256)
+    np.testing.assert_allclose(
+        np.asarray(rms),
+        np.asarray(jnp.sqrt(jnp.mean(frames * frames, axis=-1))),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(zc), np.asarray(zero_crossings(frames))
+    )
+
+
 def test_availability_gate():
     # CPU backend in tests -> not available (real path gated to TPU)
     assert not pallas_stft_available(1024, 256)

@@ -19,8 +19,18 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _rolloff_tri(n: int) -> np.ndarray:
+    """Upper-left triangular ones [n, n] (cumsum-as-matmul), bf16."""
+    tri = (np.arange(n)[:, None] <= np.arange(n)[None, :]).astype(np.float32)
+    out = tri.astype(jnp.bfloat16)
+    out.setflags(write=False)
+    return out
 
 _EPS = 1e-10
 
@@ -394,21 +404,26 @@ def spectral_descriptor_bundle(
     fm_sum = jnp.sum(m * freqs, axis=-1)
     m_max = jnp.max(m, axis=-1)
     p_sum = jnp.sum(power, axis=-1)
+    # ONE log over the magnitudes feeds both flatness (ln) and the
+    # slope regression (log10 = ln / ln 10); log10(freqs) is a constant
+    # per-bin vector, not a per-frame transcendental
+    log_m = jnp.log(jnp.maximum(m, _EPS))
     # flatness (threshold mask, log-mean over valid bins)
     valid_f = m > _EPS
     count_f = jnp.sum(valid_f, axis=-1)
-    log_sum = jnp.sum(
-        jnp.where(valid_f, jnp.log(jnp.maximum(m, _EPS)), 0.0), axis=-1
-    )
+    log_sum = jnp.sum(jnp.where(valid_f, log_m, 0.0), axis=-1)
     # slope (log-log regression, masked to mag > eps and f > 0)
+    _INV_LN10 = 0.43429448190325176
+    logf = jnp.where(
+        freqs > 0, jnp.log10(jnp.maximum(freqs, _EPS)), 0.0
+    )  # [F] constant
     valid_s = (m > _EPS) & (freqs > 0)
-    x = jnp.where(valid_s, jnp.log10(jnp.maximum(freqs, _EPS)), 0.0)
-    y = jnp.where(valid_s, jnp.log10(jnp.maximum(m, _EPS)), 0.0)
+    y = jnp.where(valid_s, log_m * _INV_LN10, 0.0)
     n_s = jnp.sum(valid_s, axis=-1).astype(jnp.float32)
-    sum_x = jnp.sum(x, axis=-1)
+    sum_x = jnp.sum(jnp.where(valid_s, logf, 0.0), axis=-1)
     sum_y = jnp.sum(y, axis=-1)
-    sum_xy = jnp.sum(x * y, axis=-1)
-    sum_xx = jnp.sum(x * x, axis=-1)
+    sum_xy = jnp.sum(y * logf, axis=-1)
+    sum_xx = jnp.sum(jnp.where(valid_s, logf * logf, 0.0), axis=-1)
 
     centroid = jnp.where(m_sum > 0, fm_sum / jnp.maximum(m_sum, _EPS), 0.0)
     n_bins = m.shape[-1]
@@ -435,7 +450,21 @@ def spectral_descriptor_bundle(
     )
 
     # ---- pass 3: rolloff (cumulative power threshold) -----------------
-    cum = jnp.cumsum(power, axis=-1)
+    n_bins_i = m.shape[-1]
+    if jax.default_backend() == "tpu" and n_bins_i <= 1024:
+        # lane cumsum lowers to ~log2(F) shifted-add passes over the
+        # whole tensor; a triangular-ones matmul does it in one MXU op.
+        # hi/lo bf16 split of power is lossless and tri is exact in
+        # bf16, so accuracy matches the f32 cumsum (accumulation order
+        # aside).
+        tri = jnp.asarray(_rolloff_tri(n_bins_i))
+        p_hi = power.astype(jnp.bfloat16)
+        p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        cum = jnp.matmul(
+            p_hi, tri, preferred_element_type=jnp.float32
+        ) + jnp.matmul(p_lo, tri, preferred_element_type=jnp.float32)
+    else:
+        cum = jnp.cumsum(power, axis=-1)
     reached = cum >= rolloff_threshold * p_sum[..., None]
     idx = jnp.argmax(reached, axis=-1)
     rolloff = jnp.where(p_sum > 0, freqs[idx], 0.0)

@@ -224,7 +224,7 @@ def yin_difference_pallas(
     jax.jit,
     static_argnames=(
         "window_size", "hop_size", "sample_rate", "min_freq", "max_freq",
-        "yin_threshold", "interpret",
+        "yin_threshold", "interpret", "with_period_amp",
     ),
 )
 def yin_pitch_pallas(
@@ -236,19 +236,25 @@ def yin_pitch_pallas(
     max_freq: float,
     yin_threshold: float = 0.15,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_period_amp: bool = False,
+):
     """Full fused YIN: [B, N] -> (pitch, confidence, voicing) each [B, T].
 
     The difference rows, CMNDF, threshold pick, parabolic interpolation
     and range validation all stay in VMEM; only three numbers per frame
     reach HBM. Matches ops.pitch._yin_pick semantics.
+
+    with_period_amp=True appends the per-frame RMS over the first
+    pitch-period samples (voice_quality.go's period amplitude) as a
+    fourth array — computed from the same in-VMEM frames, replacing a
+    full-signal cumsum + gather pass in analyze_voice_quality.
     """
     if signal.ndim == 1:
-        p, c, v = yin_pitch_pallas(
+        res = yin_pitch_pallas(
             signal[None, :], window_size, hop_size, sample_rate,
-            min_freq, max_freq, yin_threshold, interpret,
+            min_freq, max_freq, yin_threshold, interpret, with_period_amp,
         )
-        return p[0], c[0], v[0]
+        return tuple(r[0] for r in res)
     w = window_size
     h = w // 2
     f_bins = w // 2 + 1
@@ -259,6 +265,7 @@ def yin_pitch_pallas(
     tile = _FRAME_TILE
     mx_hi, mx_lo, minv_hi, minv_lo, band, tri = _yin_kernel_mats(w)
     eps = 1e-10
+    n_out = 3 if with_period_amp else 2
 
     def kernel(sig_ref, mxh_ref, mxl_ref, mih_ref, mil_ref, band_ref,
                tri_ref, out_ref, sig_vmem, sem):
@@ -329,6 +336,19 @@ def yin_pitch_pallas(
         conf = jnp.where(ok, confidence, 0.0)
         out_ref[0, :, 0] = pitch
         out_ref[0, :, 1] = conf
+        if with_period_amp:
+            # RMS over the first pitch-period samples of each frame
+            # (voice_quality.go period amplitudes); period 0 -> 1 sample
+            period_f = jnp.where(pitch > 0, sample_rate / jnp.maximum(pitch, eps), 0.0)
+            plen = jnp.clip(period_f.astype(jnp.int32), 1, w - 1)
+            j_w = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
+            sq = frames * frames
+            psum = jnp.sum(
+                jnp.where(j_w < plen[:, None], sq, 0.0), axis=1
+            )
+            out_ref[0, :, 2] = jnp.sqrt(
+                psum / jnp.maximum(plen.astype(jnp.float32), 1.0)
+            )
 
     out = pl.pallas_call(
         kernel,
@@ -343,9 +363,9 @@ def yin_pitch_pallas(
             pl.BlockSpec((h, h), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile, 2), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+            (1, tile, n_out), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile, n_out), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((slice_len,), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -355,6 +375,8 @@ def yin_pitch_pallas(
       jnp.asarray(minv_lo), jnp.asarray(band), jnp.asarray(tri))
     pitch = out[:, :t, 0]
     conf = out[:, :t, 1]
+    if with_period_amp:
+        return pitch, conf, conf, out[:, :t, 2]
     return pitch, conf, conf
 
 

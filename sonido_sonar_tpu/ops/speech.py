@@ -362,31 +362,51 @@ def analyze_voice_quality(
     over a slightly different period sampling.
     """
     from sonido_sonar_tpu.ops.framing import num_frames
+    from sonido_sonar_tpu.ops.pallas_yin import (
+        pallas_yin_available,
+        yin_pitch_pallas,
+    )
     from sonido_sonar_tpu.ops.pitch import yin_pitch_from_signal
 
     frame_size, hop = 1024, 256
     params = PitchParams(sample_rate=sample_rate, window_size=frame_size,
                          min_freq=min_f0, max_freq=max_f0)
-    pitch, conf, voicing = yin_pitch_from_signal(
-        signal, frame_size, hop, params
-    )
+    if pallas_yin_available(frame_size, hop) and signal.ndim in (1, 2):
+        # fused kernel also emits the per-frame period RMS amplitude —
+        # no full-signal cumsum/gather pass
+        pitch, conf, voicing, amp = yin_pitch_pallas(
+            signal, frame_size, hop, sample_rate,
+            params.min_freq, params.max_freq, params.yin_threshold,
+            with_period_amp=True,
+        )
+    else:
+        pitch, conf, voicing = yin_pitch_from_signal(
+            signal, frame_size, hop, params
+        )
+        # period RMS amplitude ~ RMS over the first `period` samples of
+        # each frame, via a GLOBAL cumsum of squares (two gathers per
+        # frame — the [.., T, W] frames tensor is never materialized)
+        period_len_all = jnp.where(
+            pitch > 0, sample_rate / jnp.maximum(pitch, _EPS), 0.0
+        )
+        x32 = signal.astype(jnp.float32)
+        t_frames = num_frames(x32.shape[-1], frame_size, hop)
+        csum0 = jnp.concatenate(
+            [jnp.zeros_like(x32[..., :1]), jnp.cumsum(x32 * x32, axis=-1)],
+            axis=-1,
+        )
+        starts = jnp.arange(t_frames, dtype=jnp.int32) * hop
+        plen_idx = jnp.clip(
+            period_len_all.astype(jnp.int32), 1, frame_size - 1
+        )
+        psum = jnp.take_along_axis(
+            csum0, starts + plen_idx, axis=-1
+        ) - jnp.take_along_axis(
+            csum0, jnp.broadcast_to(starts, plen_idx.shape), axis=-1
+        )
+        amp = jnp.sqrt(psum / jnp.maximum(plen_idx.astype(jnp.float32), 1.0))
     voiced = (voicing > 0.5) & (conf > 0.5) & (pitch >= min_f0) & (pitch <= max_f0)
-
     period_len = jnp.where(voiced, sample_rate / jnp.maximum(pitch, _EPS), 0.0)
-    # period RMS amplitude ~ RMS over the first `period` samples of each
-    # frame, via a GLOBAL cumsum of squares (two gathers per frame — the
-    # [.., T, W] frames tensor is never materialized)
-    x32 = signal.astype(jnp.float32)
-    t_frames = num_frames(x32.shape[-1], frame_size, hop)
-    csum0 = jnp.concatenate(
-        [jnp.zeros_like(x32[..., :1]), jnp.cumsum(x32 * x32, axis=-1)], axis=-1
-    )
-    starts = jnp.arange(t_frames, dtype=jnp.int32) * hop
-    plen_idx = jnp.clip(period_len.astype(jnp.int32), 1, frame_size - 1)
-    psum = jnp.take_along_axis(
-        csum0, starts + plen_idx, axis=-1
-    ) - jnp.take_along_axis(csum0, jnp.broadcast_to(starts, plen_idx.shape), axis=-1)
-    amp = jnp.sqrt(psum / jnp.maximum(plen_idx.astype(jnp.float32), 1.0))
 
     num_periods = jnp.sum(voiced, axis=-1)
 

@@ -92,6 +92,32 @@ def test_full_pick_kernel_interpret():
     )
 
 
+def test_period_amp_output_interpret():
+    """with_period_amp emits RMS over the first pitch-period samples,
+    matching the framed-signal derivation."""
+    from sonido_sonar_tpu.ops.pallas_yin import yin_pitch_pallas
+
+    x = jnp.asarray(_clip(8))
+    p = PitchParams(sample_rate=SR, window_size=1024)
+    pitch, conf, _, amp = yin_pitch_pallas(
+        x, 1024, 256, SR, p.min_freq, p.max_freq, p.yin_threshold,
+        interpret=True, with_period_amp=True,
+    )
+    frames = np.asarray(frame_signal(x, 1024, 256))
+    pitch_n = np.asarray(pitch)
+    plen = np.clip(
+        np.where(pitch_n > 0, SR / np.maximum(pitch_n, 1e-10), 0.0).astype(int),
+        1, 1023,
+    )
+    ref = np.sqrt(
+        np.array([
+            (frames[i, : plen[i]] ** 2).sum() / plen[i]
+            for i in range(frames.shape[0])
+        ])
+    )
+    np.testing.assert_allclose(np.asarray(amp), ref, rtol=1e-5, atol=1e-7)
+
+
 def test_availability_gate():
     assert not pallas_yin_available(1024, 512)  # CPU backend here
     assert not pallas_yin_available(1000, 256)  # bad geometry regardless

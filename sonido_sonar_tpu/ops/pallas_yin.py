@@ -29,8 +29,6 @@ from __future__ import annotations
 
 import functools
 from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +30,8 @@ from sonido_sonar_tpu.ops.chroma import chroma_from_magnitude
 from sonido_sonar_tpu.ops.filters import pre_emphasis
 from sonido_sonar_tpu.ops.framing import frame_signal
 from sonido_sonar_tpu.ops.mfcc import MFCCParams, mfcc
-from sonido_sonar_tpu.ops.pitch import PitchParams, yin_pitch
-from sonido_sonar_tpu.ops.stft import spectral_flux, stft
+from sonido_sonar_tpu.ops.pitch import PitchParams
+from sonido_sonar_tpu.ops.stft import stft
 
 _EPS = 1e-10
 

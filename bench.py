@@ -102,6 +102,41 @@ def main() -> None:
     )
     assert max_diff < 1e-6, "shard_map(Pallas) diverged from direct execution"
 
+    # on-chip kernel parity guard: the fused YIN kernel vs the XLA HIGH
+    # path (the CPU test suite cannot exercise the Mosaic lowering)
+    from sonido_sonar_tpu.ops.framing import frame_signal
+    from sonido_sonar_tpu.ops.pallas_yin import yin_pitch_pallas
+    from sonido_sonar_tpu.ops.pitch import PitchParams, yin_pitch
+
+    tt = np.arange(sr * 4) / sr
+    tone = (
+        np.sin(2 * np.pi * 196.0 * tt)
+        * np.interp(tt, [0, 2, 4], [0.3, 1.0, 0.5])
+    ).astype(np.float32)
+    tone += 0.02 * rng.standard_normal(tone.size).astype(np.float32)
+    tone_j = jnp.asarray(np.stack([tone, tone * 0.5]))
+    pk = np.asarray(
+        yin_pitch_pallas(tone_j, 1024, 512, sr, 80.0, 1000.0)[0]
+    )
+    pr = np.asarray(
+        yin_pitch(
+            frame_signal(tone_j, 1024, 512),
+            PitchParams(sample_rate=sr, window_size=1024),
+        )[0]
+    )
+    both = (pk > 0) & (pr > 0)
+    agree = float(both.sum()) / max(float(((pk > 0) | (pr > 0)).sum()), 1.0)
+    max_rel = (
+        float(np.abs(pk[both] - pr[both]).max() / pr[both].max())
+        if both.any() else 0.0
+    )
+    print(
+        f"[bench] YIN kernel==XLA on-chip: voiced agreement {agree:.3f}, "
+        f"max rel pitch diff {max_rel:.1e}",
+        file=sys.stderr,
+    )
+    assert agree > 0.99 and max_rel < 5e-3, "fused YIN kernel drifted"
+
     # secondary: batched pair alignment (BASELINE config 5): 8 pairs of
     # 60 s energy series, xcorr + banded DTW
     from sonido_sonar_tpu.parallel.pipeline import batched_pair_alignment, batched_pair_dtw

@@ -205,14 +205,17 @@ def spectral_contrast(
         width = hi - lo
         k = max(int(0.2 * width), 1)
         if width >= 64:
-            # TPU-native exact selection (recall 1.0) beats a full sort
-            # on the wide upper bands, which dominate the contrast cost
-            peak = jnp.mean(
-                jax.lax.approx_max_k(band, k, recall_target=1.0)[0], axis=-1
-            )
-            valley = jnp.mean(
-                jax.lax.approx_min_k(band, k, recall_target=1.0)[0], axis=-1
-            )
+            # ONE full descending sort serves both ends. Device traces
+            # showed approx_max_k + approx_min_k at recall 1.0 EACH
+            # lower to a full sort of the band (two 31 ms sorts of the
+            # widest band per step); approx_max_k with k=width is the
+            # same exact sort once, in the efficient sublane layout
+            # (plain jnp.sort on the lane axis measured 28 ms slower).
+            sorted_desc = jax.lax.approx_max_k(
+                band, width, recall_target=1.0
+            )[0]
+            peak = jnp.mean(sorted_desc[..., :k], axis=-1)
+            valley = jnp.mean(sorted_desc[..., width - k :], axis=-1)
         else:
             sorted_band = jnp.sort(band, axis=-1)
             valley = jnp.mean(sorted_band[..., :k], axis=-1)

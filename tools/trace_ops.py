@@ -1,0 +1,73 @@
+"""Capture + parse a real TPU device trace through the axon tunnel.
+
+jax.profiler DOES produce a device plane over the remote tunnel; the
+tensorboard profile plugin in this image is broken (pywrap mismatch),
+but the raw xplane protobuf parses fine with the pure-python protobuf
+implementation. This script prints per-HLO-op device time — the tool
+that exposed e.g. approx_max_k's double-sort lowering (see PERF.md).
+
+Usage:
+  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python tools/trace_ops.py
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import shutil
+import sys
+
+
+def capture(trace_dir: str = "/tmp/jaxtrace", steps: int = 2) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sonido_sonar_tpu.parallel.pipeline import batched_fingerprint_features
+
+    sr = 44100
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((128, sr * 30)).astype(np.float32) * 0.1)
+    jax.block_until_ready(x)
+    step = lambda v: batched_fingerprint_features(
+        v, sample_rate=sr, window_size=1024, hop_size=256
+    )
+    float(jax.tree_util.tree_leaves(step(x))[0].sum())  # compile + warm
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    import jax.profiler
+
+    with jax.profiler.trace(trace_dir):
+        for _ in range(steps):
+            float(jax.tree_util.tree_leaves(step(x))[0].sum())
+
+
+def report(trace_dir: str = "/tmp/jaxtrace", steps: int = 2, top: int = 30) -> None:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb"))
+    if not files:
+        print("no xplane found", file=sys.stderr)
+        return
+    xs = xplane_pb2.XSpace()
+    with open(sorted(files)[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if plane.name != "/device:TPU:0":
+            continue
+        names = {i: m.name for i, m in plane.event_metadata.items()}
+        agg = collections.Counter()
+        for line in plane.lines:
+            for ev in line.events:
+                agg[names.get(ev.metadata_id, "?")] += ev.duration_ps
+        for name, ps in agg.most_common(top):
+            print(f"{ps / steps / 1e9:9.2f} ms/step  {name[:100]}")
+
+
+if __name__ == "__main__":
+    if os.environ.get("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION") != "python":
+        # the compiled-proto path raises descriptor errors in this image
+        os.environ["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    capture()
+    report()

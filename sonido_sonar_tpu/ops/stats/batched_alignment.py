@@ -279,11 +279,11 @@ def dtw_align_batch(
     q = query.astype(jnp.float32)
     r = reference.astype(jnp.float32)
 
-    if pallas_dtw_available():
+    if pallas_dtw_available(band):
         costs = fill_banded_pallas_batch(q, r, band, n, m)
     else:
         costs = jax.vmap(lambda a, b: _fill_banded(a, b, band, n, m))(q, r)
-    if pallas_backtrack_available():
+    if pallas_backtrack_available(band):
         qs_b, rs_b, cs_b, lengths = backtrack_banded_pallas_batch(costs, band, n, m)
     else:
         qs_b, rs_b, cs_b, lengths = jax.vmap(
@@ -376,6 +376,61 @@ def batched_hybrid_align(
 
     out["offset_seconds"] = out["offset_samples"] / float(sample_rate)
     return out
+
+
+def batched_hybrid_align_device(
+    query_energy,
+    reference_energy,
+    max_lag: int,
+    hop_size: int,
+    sample_rate: int,
+    dtw_band: int = 50,
+) -> Dict[str, jnp.ndarray]:
+    """Sync-free hybrid alignment: both scoring programs always run and
+    the winner select stays on device, so a fleet monitor can keep many
+    batches in flight with zero host round trips per batch (the gated
+    variant above costs one sync on the confidence vector but skips the
+    DTW program when every pair clears 0.7).
+
+    Same policy and outputs as batched_hybrid_align, as jnp arrays.
+    """
+    q = jnp.asarray(query_energy)
+    r = jnp.asarray(reference_energy)
+    t1, t2 = int(q.shape[-1]), int(r.shape[-1])
+    max_lag = max(min(max_lag, t1 - 1, t2 - 1), 0)
+
+    xc = xcorr_align_batch(q, r, max_lag, hop_size, t1, t2)
+    band = dtw_band
+    if band > 0 and max_lag > 0:
+        band = max(band, max_lag)
+    band = min(band, max(t1, t2))
+    if abs(t1 - t2) > band:
+        band = abs(t1 - t2)
+    dt = dtw_align_batch(q, r, band, hop_size, t1, t2)
+
+    corr_off, corr_conf = xc["offset_samples"], xc["confidence"]
+    dtw_conf = dt["confidence"]
+    eff_conf = dtw_conf * jnp.sqrt(dt["offset_consistency"])
+    accepted = corr_conf > 0.7
+    need_dtw = ~accepted
+    dtw_wins = need_dtw & (eff_conf >= corr_conf)
+    offset = jnp.where(dtw_wins, dt["offset_samples"], corr_off)
+    return {
+        "offset_samples": offset,
+        "offset_seconds": offset / float(sample_rate),
+        "confidence": jnp.where(
+            need_dtw, 0.6 * dtw_conf + 0.4 * corr_conf, corr_conf
+        ),
+        "similarity": jnp.where(
+            need_dtw,
+            0.7 * dt["similarity"] + 0.3 * xc["similarity"],
+            xc["similarity"],
+        ),
+        "quality": jnp.where(need_dtw, dt["quality"], xc["quality"]),
+        "method": jnp.where(
+            need_dtw, jnp.where(dtw_wins, 2, 1), 0
+        ).astype(jnp.int32),
+    }
 
 
 def batched_align_audio(

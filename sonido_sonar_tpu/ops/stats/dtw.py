@@ -457,11 +457,11 @@ def _banded_align_device(query, reference, band: int, n: int, m: int):
         pallas_dtw_available,
     )
 
-    if pallas_dtw_available():
+    if pallas_dtw_available(band):
         cost_band = fill_banded_pallas(query, reference, band, n, m)
     else:
         cost_band = _fill_banded(query, reference, band, n, m)
-    if pallas_backtrack_available():
+    if pallas_backtrack_available(band):
         qs, rs, cs, length = backtrack_banded_pallas(cost_band, band, n, m)
     else:
         qs, rs, cs, length = _backtrack_banded(cost_band, band, n, m)

@@ -33,11 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 _ROWS_BLK = 512  # code rows per grid step (SMEM block)
 
 
-def pallas_backtrack_available() -> bool:
+def pallas_backtrack_available(band: int = 64) -> bool:
+    """TPU backend + a band whose packed move-code rows fit the SMEM
+    walk blocks (same cap as the fill kernel's gate — the two run as a
+    pair on the same geometry)."""
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
     except Exception:
         return False
+    lanes = max(128, ((2 * band + 1 + 127) // 128) * 128)
+    return lanes <= 6144
 
 
 @partial(jax.jit, static_argnames=("band", "n", "m"))

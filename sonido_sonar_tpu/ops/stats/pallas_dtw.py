@@ -46,12 +46,20 @@ _BIG = float(3.4e38) / 4  # finite 'inf', matches dtw._fill_banded
 _CHUNK = 32  # DP rows per grid step (statically unrolled in-kernel)
 
 
-def pallas_dtw_available() -> bool:
-    """The compiled kernel needs a real TPU backend (Mosaic)."""
+def pallas_dtw_available(band: int = 64) -> bool:
+    """The compiled kernel needs a real TPU backend (Mosaic) AND a band
+    that fits VMEM: the fill's scoped allocation scales with the padded
+    band width (~1.7 KB per lane; band 5168 -> 10368 lanes was measured
+    to exceed the 16 MB scoped-vmem limit). Oversized bands — e.g. the
+    hybrid policy's band >= max_lag with a 30 s lag budget at hop 256 —
+    must take the lax fill instead."""
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
     except Exception:
         return False
+    lanes = max(128, ((2 * band + 1 + 127) // 128) * 128)
+    return lanes <= 6144
 
 
 def _fill_kernel(band, lanes, n, m, q_ref, *refs):

@@ -301,7 +301,7 @@ def batched_pair_dtw(
     n = query_feats.shape[1]
     m = reference_feats.shape[1]
 
-    if pallas_dtw_available():
+    if pallas_dtw_available(band):
         costs = fill_banded_pallas_batch(
             query_feats.astype(jnp.float32),
             reference_feats.astype(jnp.float32),
@@ -313,7 +313,7 @@ def batched_pair_dtw(
             reference_feats.astype(jnp.float32),
         )
 
-    if pallas_backtrack_available():
+    if pallas_backtrack_available(band):
         qs_b, rs_b, _, lengths = backtrack_banded_pallas_batch(
             costs, band, n, m
         )

@@ -172,6 +172,35 @@ def test_hybrid_batch_matches_per_pair_end_to_end():
         assert abs(int(out["offset_samples"][i]) - lag) <= HOP
 
 
+def test_device_hybrid_matches_gated_hybrid():
+    """The sync-free device variant (always runs both programs, winner
+    select on device) equals the host-gated combiner on every output."""
+    from sonido_sonar_tpu.ops.stats.batched_alignment import (
+        batched_hybrid_align_device,
+    )
+
+    cases = [(137, 0.01), (1000, 0.05), (2500, 0.1), (-1800, 0.02)]
+    energies = [
+        _pair_energies(lag, noise, 60 + i)
+        for i, (lag, noise) in enumerate(cases)
+    ]
+    eq = np.stack([e[2] for e in energies])
+    er = np.stack([e[3] for e in energies])
+    max_lag = eq.shape[-1] // 2
+    host = batched_hybrid_align(
+        eq, er, max_lag, HOP, SR, dtw_band=50, skip_dtw_if_confident=False
+    )
+    dev = batched_hybrid_align_device(eq, er, max_lag, HOP, SR, dtw_band=50)
+    np.testing.assert_array_equal(
+        np.asarray(dev["offset_samples"]), host["offset_samples"]
+    )
+    np.testing.assert_array_equal(np.asarray(dev["method"]), host["method"])
+    for key in ("confidence", "similarity", "quality"):
+        np.testing.assert_allclose(
+            np.asarray(dev[key]), host[key], atol=1e-6, err_msg=key
+        )
+
+
 def test_batched_align_audio_with_refinement():
     lags = [137, 1000]
     pcm = [_pair_energies(lag, 0.01, 40 + i)[:2] for i, lag in enumerate(lags)]

@@ -26,7 +26,7 @@ and the winner decisions match on realistic data
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

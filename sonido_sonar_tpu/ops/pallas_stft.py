@@ -51,11 +51,15 @@ def stft_magnitude_pallas(
     Requires hop_size | window_size (the production geometries). T is
     the reference frame count (N - W)//hop + 1.
 
-    with_aux=True additionally returns (rms [B, T], zero_crossings
-    [B, T]) computed from the SAME in-VMEM frames (frame-local
-    definitions, identical to ops.temporal.short_time_energy /
-    ops.spectral.zero_crossings on framed signal) — replacing two
-    ~20-pass full-signal cumsum programs in the pipeline.
+    with_aux=True additionally returns an aux dict of [B, T] series
+    computed from the SAME in-VMEM frames/magnitudes:
+      rms, zero_crossings   — frame-local definitions, identical to
+        ops.temporal.short_time_energy / ops.spectral.zero_crossings
+        (replacing two ~20-pass full-signal cumsum programs);
+      rolloff, low_energy_ratio, high_energy_ratio — from ONE in-VMEM
+        power-cumsum tri matmul (the XLA rolloff alone spent ~17 ms/step
+        on HBM-resident bf16 splits + layout churn; here power never
+        leaves VMEM and the band ratios fall out of the same cumsum).
     """
     from sonido_sonar_tpu.ops.framing import num_frames
     from sonido_sonar_tpu.ops.stft import _windowed_dft_matrix
@@ -66,7 +70,7 @@ def stft_magnitude_pallas(
             with_aux,
         )
         if with_aux:
-            return res[0][0], res[1][0], res[2][0]
+            return res[0][0], {k: v[0] for k, v in res[1].items()}
         return res[0]
     assert window_size % hop_size == 0, "pallas stft needs hop | window"
 
@@ -99,10 +103,16 @@ def stft_magnitude_pallas(
     # tests/test_pallas_stft.py).
     m_hi = m_dft.astype(jnp.bfloat16)
     m_lo = (m_dft - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if with_aux:
+        from sonido_sonar_tpu.ops.spectral import _rolloff_tri
+
+        tri = jnp.asarray(_rolloff_tri(f_bins))  # [F, F] bf16 exact 0/1
+    split = f_bins // 4
+    rolloff_threshold = 0.85  # rolloff emitted in BIN units (no sr here)
 
     def kernel(sig_ref, dft_hi_ref, dft_lo_ref, *refs):
         if with_aux:
-            out_ref, aux_ref, sig_vmem, sem = refs
+            tri_ref, out_ref, aux_ref, sig_vmem, sem = refs
         else:
             out_ref, sig_vmem, sem = refs
         bi = pl.program_id(0)  # batch row
@@ -151,8 +161,39 @@ def stft_magnitude_pallas(
             zc = jnp.sum(
                 (nonneg[:, 1:] != nonneg[:, :-1]).astype(jnp.float32), axis=1
             )
+            # power cumsum as ONE tri matmul on the in-VMEM magnitudes:
+            # rolloff bin (spectral_rolloff.go:19-70) and the quarter-band
+            # energy ratios all read off the same cumulative row
+            mag = out_ref[0, :, :]
+            power = mag * mag
+            p_hi = power.astype(jnp.bfloat16)
+            p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            cum = jnp.dot(
+                p_hi, tri_ref[:], preferred_element_type=jnp.float32
+            ) + jnp.dot(p_lo, tri_ref[:], preferred_element_type=jnp.float32)
+            p_sum = cum[:, f_bins - 1]
+            reached = cum >= rolloff_threshold * p_sum[:, None]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tile, f_bins), 1)
+            first = jnp.min(
+                jnp.where(reached, lane, jnp.int32(f_bins)), axis=1
+            )
+            rolloff_bin = jnp.minimum(first, f_bins - 1).astype(jnp.float32)
+            rolloff_bin = jnp.where(p_sum > 0, rolloff_bin, 0.0)
+            low_e = cum[:, split - 1]
+            eps = 1e-10
+            low_ratio = jnp.where(
+                p_sum > 0, low_e / jnp.maximum(p_sum, eps), 0.0
+            )
+            high_ratio = jnp.where(
+                p_sum > 0, (p_sum - low_e) / jnp.maximum(p_sum, eps), 0.0
+            )
             aux_ref[0, :, 0] = rms
             aux_ref[0, :, 1] = zc
+            aux_ref[0, :, 2] = rolloff_bin
+            aux_ref[0, :, 3] = low_ratio
+            aux_ref[0, :, 4] = high_ratio
+            for j in range(5, 8):
+                aux_ref[0, :, j] = jnp.zeros((tile,), jnp.float32)
 
     out_padded_t = n_tiles * tile
     grid = (b, n_tiles)
@@ -167,35 +208,45 @@ def stft_magnitude_pallas(
     if with_aux:
         out_specs.append(
             pl.BlockSpec(
-                (1, tile, 2), lambda bi, ti: (bi, ti, 0),
+                (1, tile, 8), lambda bi, ti: (bi, ti, 0),
                 memory_space=pltpu.VMEM,
             )
         )
         out_shapes.append(
-            jax.ShapeDtypeStruct((b, out_padded_t, 2), jnp.float32)
+            jax.ShapeDtypeStruct((b, out_padded_t, 8), jnp.float32)
         )
+    in_specs = [
+        # full flattened signal stays in HBM (ANY requires the whole
+        # array + trivial index map); the kernel DMAs slices itself
+        pl.BlockSpec(
+            sig.shape,
+            lambda bi, ti: (0,),
+            memory_space=pltpu.ANY,
+        ),
+        pl.BlockSpec(
+            (window_size, 2 * f_bins),
+            lambda bi, ti: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (window_size, 2 * f_bins),
+            lambda bi, ti: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [sig, m_hi, m_lo]
+    if with_aux:
+        in_specs.append(
+            pl.BlockSpec(
+                (f_bins, f_bins), lambda bi, ti: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(tri)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # full flattened signal stays in HBM (ANY requires the whole
-            # array + trivial index map); the kernel DMAs slices itself
-            pl.BlockSpec(
-                sig.shape,
-                lambda bi, ti: (0,),
-                memory_space=pltpu.ANY,
-            ),
-            pl.BlockSpec(
-                (window_size, 2 * f_bins),
-                lambda bi, ti: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (window_size, 2 * f_bins),
-                lambda bi, ti: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
@@ -203,10 +254,17 @@ def stft_magnitude_pallas(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(sig, m_hi, m_lo)
+    )(*operands)
     if with_aux:
         mag, aux = out
-        return mag[:, :t, :], aux[:, :t, 0], aux[:, :t, 1]
+        aux_dict = {
+            "rms": aux[:, :t, 0],
+            "zero_crossings": aux[:, :t, 1],
+            "rolloff_bin": aux[:, :t, 2],
+            "low_energy_ratio": aux[:, :t, 3],
+            "high_energy_ratio": aux[:, :t, 4],
+        }
+        return mag[:, :t, :], aux_dict
     return out[0][:, :t, :]
 
 
@@ -226,12 +284,13 @@ def pallas_stft_available(window_size: int, hop_size: int) -> bool:
     # stride is itself 1024-aligned
     if (_FRAME_TILE * hop_size) % 1024 != 0:
         return False
-    # VMEM budget: dft matrix + frames + slice + out tile (float32)
+    # VMEM budget: dft matrix + frames + slice + out tile (float32) +
+    # the aux epilogue's tri matrix (bf16) and power/cumsum tiles
     f_bins = window_size // 2 + 1
     vmem = 4 * (
         window_size * 2 * f_bins
         + _FRAME_TILE * window_size
         + _FRAME_TILE * hop_size + window_size
         + _FRAME_TILE * f_bins
-    )
+    ) + 2 * f_bins * f_bins + 4 * _FRAME_TILE * f_bins * 3
     return vmem < 12 * 1024 * 1024

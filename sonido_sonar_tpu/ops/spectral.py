@@ -387,7 +387,10 @@ def spectral_contrast_custom_bands(
 
 
 def spectral_descriptor_bundle(
-    magnitude: jnp.ndarray, sample_rate: int, rolloff_threshold: float = 0.85
+    magnitude: jnp.ndarray,
+    sample_rate: int,
+    rolloff_threshold: float = 0.85,
+    skip_rolloff: bool = False,
 ) -> dict:
     """All per-frame descriptors in shared passes over the magnitudes.
 
@@ -452,9 +455,12 @@ def spectral_descriptor_bundle(
         m_sum > 0, jnp.sqrt(bw_num / jnp.maximum(m_sum, _EPS)), 0.0
     )
 
-    # ---- pass 3: rolloff (cumulative power threshold) -----------------
+    # ---- pass 3: rolloff (cumulative power threshold; skipped when the
+    # caller computes it in the Pallas STFT aux epilogue) --------------
     n_bins_i = m.shape[-1]
-    if jax.default_backend() == "tpu" and n_bins_i <= 1024:
+    if skip_rolloff:
+        rolloff = None
+    elif jax.default_backend() == "tpu" and n_bins_i <= 1024:
         # lane cumsum lowers to ~log2(F) shifted-add passes over the
         # whole tensor; a triangular-ones matmul does it in one MXU op.
         # hi/lo bf16 split of power is lossless and tri is exact in
@@ -468,21 +474,24 @@ def spectral_descriptor_bundle(
         ) + jnp.matmul(p_lo, tri, preferred_element_type=jnp.float32)
     else:
         cum = jnp.cumsum(power, axis=-1)
-    reached = cum >= rolloff_threshold * p_sum[..., None]
-    idx = jnp.argmax(reached, axis=-1)
-    rolloff = jnp.where(p_sum > 0, freqs[idx], 0.0)
+    if not skip_rolloff:
+        reached = cum >= rolloff_threshold * p_sum[..., None]
+        idx = jnp.argmax(reached, axis=-1)
+        rolloff = jnp.where(p_sum > 0, freqs[idx], 0.0)
 
     # ---- pass 4: flux (frame-to-frame, from ops.stft.spectral_flux) ---
     from sonido_sonar_tpu.ops.stft import spectral_flux
 
     flux = spectral_flux(m)
 
-    return {
+    out = {
         "spectral_centroid": centroid,
-        "spectral_rolloff": rolloff,
         "spectral_bandwidth": bandwidth,
         "spectral_flatness": flatness,
         "spectral_crest": crest,
         "spectral_slope": slope,
         "spectral_flux": flux,
     }
+    if not skip_rolloff:
+        out["spectral_rolloff"] = rolloff
+    return out

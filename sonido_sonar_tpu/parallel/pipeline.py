@@ -69,18 +69,19 @@ def batched_fingerprint_features(
     )
 
     use_pallas = pallas_stft_available(window_size, hop_size)
+    out: Dict[str, jnp.ndarray] = {}
     if use_pallas:
-        # fused framing+DFT+magnitude kernel with the RMS/ZCR epilogue:
-        # the [B, T, W] frames tensor never exists in HBM, and the two
-        # full-signal cumsum programs the prefix formulations needed
-        # (~20 passes each) are gone
-        mag, rms, zc = stft_magnitude_pallas(
+        # fused framing+DFT+magnitude kernel with the aux epilogue: the
+        # [B, T, W] frames tensor never exists in HBM; RMS/ZCR replace
+        # two ~20-pass full-signal cumsum programs, and rolloff + the
+        # quarter-band energy ratios ride one in-VMEM power-cumsum tri
+        # matmul instead of HBM-resident bf16 splits
+        mag, aux = stft_magnitude_pallas(
             x, window_size, hop_size, window_type, with_aux=True
         )
     else:
         mag = stft(x, window_size, hop_size, window_type, sample_rate).magnitude
 
-    out: Dict[str, jnp.ndarray] = {}
     out["mfcc"] = mfcc(
         mag, sample_rate, window_size, MFCCParams(num_coefficients=mfcc_coefficients)
     )
@@ -89,30 +90,45 @@ def batched_fingerprint_features(
 
     # shared-pass descriptor bundle: ~4 reads of the magnitude tensor
     # instead of ~10 (values identical to the standalone functions)
-    out.update(S.spectral_descriptor_bundle(mag, sample_rate))
+    out.update(
+        S.spectral_descriptor_bundle(
+            mag, sample_rate, skip_rolloff=use_pallas
+        )
+    )
     if enable_contrast:
         out["spectral_contrast"] = S.spectral_contrast(mag, sample_rate, 6)
 
     if use_pallas:
-        # from the kernel epilogue: crossings/sec like ops.spectral.zcr
-        out["zcr"] = zc / (window_size / float(sample_rate))
+        # from the kernel epilogue: crossings/sec like ops.spectral.zcr;
+        # rolloff bin -> Hz with the same freq grid as _freq_bins
+        out["zcr"] = aux["zero_crossings"] / (window_size / float(sample_rate))
+        rms = aux["rms"]
+        nyquist = sample_rate / 2.0
+        out["spectral_rolloff"] = aux["rolloff_bin"] * (
+            nyquist / float(mag.shape[-1] - 1)
+        )
+        out["low_energy_ratio"] = aux["low_energy_ratio"]
+        out["high_energy_ratio"] = aux["high_energy_ratio"]
     else:
         frames = frame_signal(x, window_size, hop_size)
         out["zcr"] = S.zcr(frames, sample_rate)
         rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+        power = mag * mag
+        split = mag.shape[-1] // 4
+        total = jnp.sum(power, axis=-1)
+        out["low_energy_ratio"] = jnp.where(
+            total > 0,
+            jnp.sum(power[..., :split], axis=-1) / jnp.maximum(total, _EPS),
+            0.0,
+        )
+        out["high_energy_ratio"] = jnp.where(
+            total > 0,
+            jnp.sum(power[..., split:], axis=-1) / jnp.maximum(total, _EPS),
+            0.0,
+        )
     out["rms_energy"] = rms
     out["energy_entropy"] = jnp.where(rms > 0, -rms * jnp.log(rms + 1e-10), 0.0)
     out["energy_variance"] = T.energy_variance(rms)
-
-    power = mag * mag
-    split = mag.shape[-1] // 4
-    total = jnp.sum(power, axis=-1)
-    out["low_energy_ratio"] = jnp.where(
-        total > 0, jnp.sum(power[..., :split], axis=-1) / jnp.maximum(total, _EPS), 0.0
-    )
-    out["high_energy_ratio"] = jnp.where(
-        total > 0, jnp.sum(power[..., split:], axis=-1) / jnp.maximum(total, _EPS), 0.0
-    )
 
     if enable_pitch:
         # fused Pallas YIN on TPU (frames never hit HBM); XLA fallback

@@ -28,26 +28,46 @@ def test_pallas_1d_input():
 
 
 def test_aux_epilogue_interpret():
-    """with_aux returns frame-local RMS + zero-crossing counts equal to
-    the framed-signal definitions."""
+    """with_aux returns frame-local RMS, zero-crossing counts, rolloff
+    bin and quarter-band energy ratios equal to the XLA definitions."""
     from sonido_sonar_tpu.ops.framing import frame_signal
-    from sonido_sonar_tpu.ops.spectral import zero_crossings
+    from sonido_sonar_tpu.ops.spectral import (
+        spectral_rolloff,
+        zero_crossings,
+    )
 
     x = (sine(440, 1.0, SR) + white_noise(1.0, SR, 0.05)).astype(np.float32)
     xb = jnp.asarray(np.stack([x, x * 0.3]))
-    mag, rms, zc = stft_magnitude_pallas(
+    mag, aux = stft_magnitude_pallas(
         xb, 1024, 256, interpret=True, with_aux=True
     )
     ref_mag = stft_magnitude_pallas(xb, 1024, 256, interpret=True)
     np.testing.assert_allclose(np.asarray(mag), np.asarray(ref_mag))
     frames = frame_signal(xb, 1024, 256)
     np.testing.assert_allclose(
-        np.asarray(rms),
+        np.asarray(aux["rms"]),
         np.asarray(jnp.sqrt(jnp.mean(frames * frames, axis=-1))),
         rtol=1e-5,
     )
     np.testing.assert_allclose(
-        np.asarray(zc), np.asarray(zero_crossings(frames))
+        np.asarray(aux["zero_crossings"]), np.asarray(zero_crossings(frames))
+    )
+    f_bins = mag.shape[-1]
+    roll_hz = np.asarray(aux["rolloff_bin"]) * (SR / 2.0) / (f_bins - 1)
+    ref_roll = np.asarray(spectral_rolloff(ref_mag, SR))
+    np.testing.assert_allclose(roll_hz, ref_roll, atol=1e-3)
+    power = np.asarray(ref_mag) ** 2
+    split = f_bins // 4
+    tot = power.sum(-1)
+    np.testing.assert_allclose(
+        np.asarray(aux["low_energy_ratio"]),
+        np.where(tot > 0, power[..., :split].sum(-1) / np.maximum(tot, 1e-10), 0.0),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux["high_energy_ratio"]),
+        np.where(tot > 0, power[..., split:].sum(-1) / np.maximum(tot, 1e-10), 0.0),
+        rtol=1e-4, atol=1e-6,
     )
 
 

@@ -220,6 +220,40 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # secondary: production lag-budget DTW through the kernels (VERDICT
+    # r2 item #3): the hybrid policy forces band >= max_lag, so the
+    # reference's default 30 s budget at hop 256 means band 5168 over a
+    # 60 s chroma sequence (and 10336 for a 60 s budget). These bands
+    # exceed the fused kernel's VMEM gate and run the split fill (XLA
+    # band distances + DP-only Pallas scan) + SMEM backtrack.
+    from sonido_sonar_tpu.ops.stats.pallas_dtw import (
+        pallas_dtw_scan_available,
+    )
+
+    n_fr = sr * 60 // 256  # 60 s at hop 256
+    big_in = jnp.asarray(
+        rng.standard_normal((1, n_fr, 12)).astype(np.float32)
+    )
+    big_ref = jnp.roll(big_in, 7, axis=-2)
+    for budget_s, budget_band in ((30, n_fr // 2), (60, n_fr)):
+        assert pallas_dtw_scan_available(budget_band), budget_band
+        res_big = dtw_align_batch(
+            big_in, big_ref, budget_band, 256, n_fr, n_fr
+        )
+        float(res_big["confidence"].sum())
+        t0 = time.perf_counter()
+        res_big = dtw_align_batch(
+            big_in, big_ref, budget_band, 256, n_fr, n_fr
+        )
+        float(res_big["confidence"].sum())
+        t_big = time.perf_counter() - t0
+        print(
+            f"[bench] lag-budget DTW: 60s chroma, {budget_s}s budget "
+            f"(band {budget_band}) fill+backtrack+score in "
+            f"{t_big*1000:.1f} ms (in-kernel)",
+            file=sys.stderr,
+        )
+
     # secondary: full speech-extractor throughput (VERDICT r1 item #8):
     # fingerprint features + LPC -> formants -> voice quality chain
     from sonido_sonar_tpu.parallel.pipeline import batched_speech_extractor_features

@@ -454,11 +454,20 @@ def _banded_align_device(query, reference, band: int, n: int, m: int):
     )
     from sonido_sonar_tpu.ops.stats.pallas_dtw import (
         fill_banded_pallas,
+        fill_banded_pallas_scan_batch,
         pallas_dtw_available,
+        pallas_dtw_scan_available,
     )
 
     if pallas_dtw_available(band):
         cost_band = fill_banded_pallas(query, reference, band, n, m)
+    elif pallas_dtw_scan_available(band):
+        # production lag budgets (band >= max_lag, e.g. 30-60 s at hop
+        # 256) exceed the fused kernel's VMEM gate: split fill — XLA
+        # band distances + DP-only Pallas scan
+        cost_band = fill_banded_pallas_scan_batch(
+            query[None], reference[None], band, n, m
+        )[0]
     else:
         cost_band = _fill_banded(query, reference, band, n, m)
     if pallas_backtrack_available(band):

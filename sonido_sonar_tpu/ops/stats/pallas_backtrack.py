@@ -30,20 +30,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROWS_BLK = 512  # code rows per grid step (SMEM block)
+_ROWS_BLK = 512    # code rows per grid step (SMEM block), narrow bands
+_BLK_WORDS = 96 * 1024  # SMEM words per walk block: SMEM is 1 MB on
+# v5e and blocks are double-buffered, so the block must stay under
+# ~480 KB (measured: a 766 KB block fails with "would exceed memory
+# (size=1048576) ... 2 buffering levels"); 96K words = 384 KB + the
+# moves/state outputs leaves ~240 KB slack.
+
+
+def _rows_blk(band: int) -> int:
+    """Code rows per SMEM walk block, shrunk for wide bands so the
+    double-buffered block fits v5e's 1 MB SMEM (multiple of 8 rows)."""
+    words_row = (2 * band + 1 + 15) // 16
+    rows = min(_ROWS_BLK, max(8, (_BLK_WORDS // max(words_row, 1)) & ~7))
+    return rows
 
 
 def pallas_backtrack_available(band: int = 64) -> bool:
     """TPU backend + a band whose packed move-code rows fit the SMEM
-    walk blocks (same cap as the fill kernel's gate — the two run as a
-    pair on the same geometry)."""
+    walk blocks. Wide bands shrink the rows-per-block (see _rows_blk),
+    so the ceiling tracks the split fill kernel's gate
+    (pallas_dtw.pallas_dtw_scan_available) rather than the fused one."""
     try:
         if jax.default_backend() != "tpu":
             return False
     except Exception:
         return False
     lanes = max(128, ((2 * band + 1 + 127) // 128) * 128)
-    return lanes <= 6144
+    return lanes <= 21504
 
 
 @partial(jax.jit, static_argnames=("band", "n", "m"))
@@ -85,7 +99,8 @@ def _move_codes(cost_band: jnp.ndarray, band: int, n: int, m: int):
     return jnp.sum(code << shifts, axis=-1).astype(jnp.int32)
 
 
-def _walk_kernel(band, n, m, n_words, codes_ref, moves_ref, len_ref, state_ref):
+def _walk_kernel(band, n, m, n_words, rows_blk, codes_ref, moves_ref, len_ref,
+                 state_ref):
     seg = pl.program_id(1)
     n_seg = pl.num_programs(1)
 
@@ -101,7 +116,7 @@ def _walk_kernel(band, n, m, n_words, codes_ref, moves_ref, len_ref, state_ref):
 
         jax.lax.fori_loop(0, n_words, zero, 0)
 
-    row_lo = (n_seg - 1 - seg) * _ROWS_BLK
+    row_lo = (n_seg - 1 - seg) * rows_blk
 
     def cond(st):
         i, j, t = st
@@ -142,18 +157,19 @@ def backtrack_banded_pallas_batch(
     b = cost_band.shape[0]
     codes = _move_codes(cost_band, band, n, m)
     n_words_row = codes.shape[-1]
-    n_seg = (n + 1 + _ROWS_BLK - 1) // _ROWS_BLK
-    codes = jnp.pad(codes, ((0, 0), (0, n_seg * _ROWS_BLK - (n + 1)), (0, 0)))
+    rows_blk = _rows_blk(band)
+    n_seg = (n + 1 + rows_blk - 1) // rows_blk
+    codes = jnp.pad(codes, ((0, 0), (0, n_seg * rows_blk - (n + 1)), (0, 0)))
 
     max_len = n + m
     n_words = (max_len + 15) // 16
 
     moves, length = pl.pallas_call(
-        partial(_walk_kernel, band, n, m, n_words),
+        partial(_walk_kernel, band, n, m, n_words, rows_blk),
         grid=(b, n_seg),
         in_specs=[
             pl.BlockSpec(
-                (1, _ROWS_BLK, n_words_row),
+                (1, rows_blk, n_words_row),
                 lambda bi, si, n_seg=n_seg: (bi, n_seg - 1 - si, 0),
                 memory_space=pltpu.SMEM,
             )

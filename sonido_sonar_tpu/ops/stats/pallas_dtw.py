@@ -52,7 +52,9 @@ def pallas_dtw_available(band: int = 64) -> bool:
     band width (~1.7 KB per lane; band 5168 -> 10368 lanes was measured
     to exceed the 16 MB scoped-vmem limit). Oversized bands — e.g. the
     hybrid policy's band >= max_lag with a 30 s lag budget at hop 256 —
-    must take the lax fill instead."""
+    take the split fill (pallas_dtw_scan_available /
+    fill_banded_pallas_scan_batch); only bands past its ~21.5k-lane
+    gate fall to the lax fill."""
     try:
         if jax.default_backend() != "tpu":
             return False
@@ -60,6 +62,144 @@ def pallas_dtw_available(band: int = 64) -> bool:
         return False
     lanes = max(128, ((2 * band + 1 + 127) // 128) * 128)
     return lanes <= 6144
+
+
+def pallas_dtw_scan_available(band: int = 64) -> bool:
+    """Gate for the split fill (XLA band distances + DP-only scan
+    kernel, `fill_banded_pallas_scan_batch`): the scan kernel holds only
+    the distance/cost tiles (~0.6 KB per lane: double-buffered in+out
+    blocks + the carried row), so its band ceiling is ~3.4x the fused
+    kernel's — production lag budgets (30 s -> band 5168 -> 10368
+    lanes; 60 s -> 10336 -> 20736 lanes at hop 256,
+    fingerprint/config/config.go:105) run in-kernel instead of falling
+    to the lax scan fill."""
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    lanes = max(128, ((2 * band + 1 + 127) // 128) * 128)
+    return lanes <= 21504
+
+
+@partial(jax.jit, static_argnames=("band", "n", "m", "lanes"))
+def _banded_local_distances(
+    query: jnp.ndarray, reference: jnp.ndarray, band: int, n: int, m: int,
+    lanes: int,
+) -> jnp.ndarray:
+    """Band-windowed euclidean distances in banded layout, computed by
+    XLA (not in-kernel): l_band[b, i, k] = ||q_i - r_{i-band+k}|| for DP
+    row i+1, BIG outside the band/borders, padded to `lanes`.
+
+    Rationale: the fused kernel's VMEM ceiling comes from its in-kernel
+    matmul window tiles, and its MXU work pads the feature dim to 128
+    lanes (10x waste for chroma d=12). XLA contracts d=12 without that
+    padding (HIGHEST precision for parity with the fused kernel), and
+    the band extraction is a pure pad+reshape+slice — the flat-stride
+    trick: pad rows to width P, then reading the flat buffer with row
+    stride P+1 walks one column to the right per row, which IS the band
+    diagonal. No gather."""
+    b = query.shape[0]
+    q = query.astype(jnp.float32)
+    r = reference.astype(jnp.float32)
+    w = 2 * band + 1
+    cross = jax.lax.dot_general(
+        q, r, (((2,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                                  # [B, n, m]
+    q_sq = jnp.sum(q * q, axis=-1)[:, :, None]
+    r_sq = jnp.sum(r * r, axis=-1)[:, None, :]
+    dense = jnp.sqrt(jnp.maximum(q_sq + r_sq - 2.0 * cross, 0.0))
+    big = jnp.float32(_BIG)
+    p_w = n + w                                        # >= n-1 + W columns
+    dense = jnp.pad(
+        dense, ((0, 0), (0, 0), (band, p_w - band - m)),
+        constant_values=_BIG,
+    )                                                  # col c = r index c-band
+    flat = dense.reshape(b, n * p_w)
+    flat = jnp.pad(flat, ((0, 0), (0, n)), constant_values=_BIG)
+    l_band = flat[:, : n * (p_w + 1)].reshape(b, n, p_w + 1)[:, :, :w]
+    l_band = jnp.minimum(l_band, big)
+    return jnp.pad(
+        l_band, ((0, 0), (0, 0), (0, lanes - w)), constant_values=_BIG
+    )
+
+
+def _scan_kernel(band, lanes, l_ref, out_ref, prev_ref):
+    """DP-only banded fill chunk: natural lane order (lane p = band
+    column k = p), local distances precomputed. Same recurrence and
+    masking as `_fill_kernel` / dtw._fill_banded.
+
+    Rows run in an in-kernel fori_loop (dynamic-sublane block access)
+    rather than a Python unroll: measured bit-identical and equally
+    fast on-chip, and compile drops ~6x (74.5 s -> 11.6 s at band 5168
+    — the unrolled 32 rows x 15 scan rounds blow up the MLIR)."""
+    chunk_idx = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    big = jnp.float32(_BIG)
+
+    @pl.when(chunk_idx == 0)
+    def _init():
+        prev_ref[...] = jnp.where(lane == band, 0.0, big)
+
+    n_rounds = int(math.ceil(math.log2(lanes)))
+
+    def row(r, prev):
+        l = l_ref[0, pl.ds(r, 1), :]
+        # up = cost[i-1, j] lives at band col k+1 = lane p+1
+        up = jnp.where(
+            lane == lanes - 1, big, pltpu.roll(prev, shift=lanes - 1, axis=1)
+        )
+        v = jnp.minimum(up, prev)  # prev itself is diag = cost[i-1, j-1]
+        a = jnp.minimum(l + v, big)
+        # inclusive min-plus scan D[k] = min(a[k], D[k-1] + l[k]);
+        # predecessor k-s sits at lane p-s.
+        acc_a, acc_c = a, jnp.minimum(l, big)
+        for s_exp in range(n_rounds):
+            s = 1 << s_exp
+            sh_a = jnp.where(lane < s, big, pltpu.roll(acc_a, shift=s, axis=1))
+            sh_c = jnp.where(lane < s, 0.0, pltpu.roll(acc_c, shift=s, axis=1))
+            acc_a = jnp.minimum(sh_a + acc_c, acc_a)
+            acc_c = sh_c + acc_c
+        d = jnp.minimum(acc_a, big)
+        out_ref[0, pl.ds(r, 1), :] = d
+        return d
+
+    prev_ref[...] = jax.lax.fori_loop(0, _CHUNK, row, prev_ref[...])
+
+
+@partial(jax.jit, static_argnames=("band", "n", "m", "interpret"))
+def fill_banded_pallas_scan_batch(
+    query: jnp.ndarray, reference: jnp.ndarray, band: int, n: int, m: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Split banded fill for bands past the fused kernel's VMEM gate:
+    XLA computes the band-local distances (efficient d-dim contraction +
+    flat-stride band extraction), the Pallas kernel runs only the DP
+    (min-plus row scans with the carried row in VMEM). Same output
+    contract as `fill_banded_pallas_batch`."""
+    w = 2 * band + 1
+    lanes = max(128, ((w + 127) // 128) * 128)
+    b = query.shape[0]
+    n_pad = ((n + _CHUNK - 1) // _CHUNK) * _CHUNK
+    l_band = _banded_local_distances(query, reference, band, n, m, lanes)
+    l_band = jnp.pad(
+        l_band, ((0, 0), (0, n_pad - n), (0, 0)), constant_values=_BIG
+    )
+    out = pl.pallas_call(
+        partial(_scan_kernel, band, lanes),
+        grid=(b, n_pad // _CHUNK),
+        in_specs=[pl.BlockSpec((1, _CHUNK, lanes), lambda bi, ci: (bi, ci, 0))],
+        out_specs=pl.BlockSpec((1, _CHUNK, lanes), lambda bi, ci: (bi, ci, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, lanes), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, lanes), jnp.float32)],
+        interpret=interpret,
+    )(l_band)
+    lane = jnp.arange(w)
+    row0 = jnp.where(lane == band, 0.0, jnp.float32(_BIG))
+    row0 = jnp.broadcast_to(row0, (b, 1, w))
+    return jnp.concatenate([row0, out[:, :n, :w]], axis=1)
 
 
 def _fill_kernel(band, lanes, n, m, q_ref, *refs):

@@ -225,3 +225,74 @@ def test_pallas_kernels_edge_shapes(n, m, band, d):
     assert int(l0) == int(l1)
     np.testing.assert_array_equal(np.asarray(qs0), np.asarray(qs1))
     np.testing.assert_array_equal(np.asarray(rs0), np.asarray(rs1))
+
+
+# ---------------------------------------------------------------------
+# split fill (XLA band distances + DP-only scan kernel) — the
+# big-band path past the fused kernel's VMEM gate (VERDICT r2 item #3)
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "n,m,band,d",
+    [
+        (200, 200, 20, 12),
+        (300, 290, 15, 5),    # query longer than reference
+        (290, 300, 15, 5),    # reference longer than query
+        (97, 100, 8, 1),      # scalar features, n not a chunk multiple
+        (272, 272, 100, 12),  # wide band (lanes = 256)
+        (128, 120, 120, 6),   # band ~ sequence length (the 'band >=
+                              # max_lag' hybrid geometry, scaled down)
+    ],
+)
+def test_scan_fill_matches_lax_fill(n, m, band, d):
+    from sonido_sonar_tpu.ops.stats.pallas_dtw import (
+        fill_banded_pallas_scan_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    q, r = _rand(rng, n, m, d)
+    ref = np.asarray(_fill_banded(q, r, band, n, m))
+    got = np.asarray(
+        fill_banded_pallas_scan_batch(
+            q[None], r[None], band, n, m, interpret=True
+        )[0]
+    )
+    finite = ref < _BIG_CUT
+    assert np.array_equal(ref >= _BIG_CUT, got >= _BIG_CUT)
+    rel = np.abs(ref - got)[finite].max() / np.abs(ref[finite]).max()
+    assert rel < 1e-5
+
+
+def test_scan_fill_batch_and_backtrack_wide_band():
+    """Batched split fill + the SMEM walker with its adaptive
+    rows-per-block (wide bands shrink the block; _rows_blk < 512)."""
+    from sonido_sonar_tpu.ops.stats.dtw import _backtrack_banded
+    from sonido_sonar_tpu.ops.stats.pallas_backtrack import (
+        _rows_blk,
+        backtrack_banded_pallas,
+    )
+    from sonido_sonar_tpu.ops.stats.pallas_dtw import (
+        fill_banded_pallas_scan_batch,
+    )
+
+    rng = np.random.default_rng(23)
+    bsz, n, m, d = 2, 96, 90, 4
+    band = 8000  # forces words_row ~1001 -> rows_blk 192
+    assert _rows_blk(band) < 512
+    q = jnp.asarray(rng.normal(size=(bsz, n, d)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(bsz, m, d)), jnp.float32)
+    got = np.asarray(
+        fill_banded_pallas_scan_batch(q, r, band, n, m, interpret=True)
+    )
+    for b in range(bsz):
+        ref = np.asarray(_fill_banded(q[b], r[b], band, n, m))
+        finite = ref < _BIG_CUT
+        rel = np.abs(ref - got[b])[finite].max() / np.abs(ref[finite]).max()
+        assert rel < 1e-5
+
+    ref0 = jnp.asarray(np.asarray(_fill_banded(q[0], r[0], band, n, m)))
+    qs0, rs0, _, l0 = _backtrack_banded(ref0, band, n, m)
+    qs1, rs1, _, l1 = backtrack_banded_pallas(ref0, band, n, m, interpret=True)
+    assert int(l0) == int(l1)
+    np.testing.assert_array_equal(np.asarray(qs0), np.asarray(qs1))
+    np.testing.assert_array_equal(np.asarray(rs0), np.asarray(rs1))

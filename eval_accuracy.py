@@ -161,7 +161,7 @@ def run_extended(sr: int = 44100, quick: bool = False) -> dict:
     lags = [int(s * sr) + 137 for s in lags]
     lags += [-l for l in lags[:2]]  # both offset signs
 
-    def one_case(src, cdn, true_lag, verify_top_peaks=1):
+    def one_case(src, cdn, true_lag, verify_top_peaks=None):
         feats = ext.align_audio_files(
             jnp.asarray(src), jnp.asarray(cdn), sr,
             verify_top_peaks=verify_top_peaks,
@@ -197,12 +197,15 @@ def run_extended(sr: int = 44100, quick: bool = False) -> dict:
         for lag in lags[:2]:
             cdn = shift_signal(src, lag, noise=0.02, gain=0.9)
             cdn = band_limit(cdn, sr, *band)
+            # DEFAULT path: adaptive PCM verification (comb-ambiguous
+            # pairs get top-K GCC-PHAT disambiguation automatically)
             record(f"{name}_bandlimited", *one_case(src, cdn, lag))
-            # beyond-reference top-K PHAT disambiguation (periodic
-            # content makes the energy-correlation comb ambiguous)
+            # verification forced OFF (the reference's raw behavior):
+            # a comb-ambiguous wrong answer must arrive at LOW
+            # confidence (the ambiguity penalty), never self-assured
             record(
-                f"{name}_bandlimited_verified",
-                *one_case(src, cdn, lag, verify_top_peaks=5),
+                f"{name}_bandlimited_unverified",
+                *one_case(src, cdn, lag, verify_top_peaks=1),
             )
 
     # time-stretch (clock skew): estimate_time_stretch via chroma DTW

@@ -26,7 +26,15 @@ import numpy as np
 from sonido_sonar_tpu.config.config import AlignmentConfig, ContentType, FeatureConfig
 from sonido_sonar_tpu.extractors.features import ExtractedFeatures
 from sonido_sonar_tpu.logging import get_global_logger
-from sonido_sonar_tpu.ops.stats.alignment import AlignmentAnalyzer, AlignmentResult
+from sonido_sonar_tpu.ops.stats.alignment import (
+    _AMBIGUITY_ONSET,
+    _VERIFY_FLOOR,
+    _VERIFY_MARGIN,
+    _VERIFY_TOP_K,
+    AlignmentAnalyzer,
+    AlignmentResult,
+    correlation_confidence,
+)
 from sonido_sonar_tpu.ops.temporal import short_time_energy
 
 # selectBestAlignment weights (alignment.go:412-430)
@@ -321,23 +329,35 @@ class AlignmentExtractor:
         sample_rate: int,
         candidate_offsets_seconds,
         search_hops: int = 24,
-    ) -> Tuple[float, float]:
+    ) -> Tuple[float, float, float]:
         """Pick the candidate coarse offset best supported by the PCM:
         each candidate gets a GCC-PHAT pass and the highest whitened
-        peak wins (returns (refined_offset_seconds, peak_value)).
+        peak wins. Returns (refined_offset_seconds, peak_value, margin)
+        where margin = peak_value / strongest peak among candidates that
+        refined to a DIFFERENT offset (> one hop away) — candidates that
+        converge to the winner are corroboration, not competition. A
+        margin >= _VERIFY_MARGIN with peak_value >= _VERIFY_FLOOR means
+        the PCM decisively confirms one offset (measured 9-54x on
+        beat-comb cases, eval_accuracy.py --full).
 
         Beyond-reference capability: beat-periodic content makes the
         energy-correlation comb ambiguous (near-equal peaks one beat
         apart); the whitened PCM correlation is not, because waveform
         phase/melody differ across beats."""
-        best_off, best_val = float(candidate_offsets_seconds[0]), -1.0
-        for cand in candidate_offsets_seconds:
-            off, val = self._phat_refine(
+        refined = [
+            self._phat_refine(
                 query_pcm, reference_pcm, sample_rate, float(cand), search_hops
             )
-            if val > best_val:
-                best_off, best_val = off, val
-        return best_off, best_val
+            for cand in candidate_offsets_seconds
+        ]
+        best_off, best_val = max(refined, key=lambda t: t[1])
+        hop_s = self.config.hop_size / float(sample_rate)
+        rival = max(
+            (val for off, val in refined if abs(off - best_off) > hop_s),
+            default=0.0,
+        )
+        margin = best_val / max(rival, 1e-9)
+        return best_off, best_val, margin
 
     def refine_offset_with_pcm(
         self,
@@ -416,16 +436,31 @@ class AlignmentExtractor:
         query_pcm: jnp.ndarray,
         reference_pcm: jnp.ndarray,
         sample_rate: int,
-        verify_top_peaks: int = 1,
+        verify_top_peaks: Optional[int] = None,
     ) -> AlignmentFeatures:
         """AlignAudioFiles (alignment.go:489-553): energy-series hybrid
         alignment without full feature extraction.
 
-        verify_top_peaks > 1 enables a beyond-reference disambiguation
+        verify_top_peaks controls the beyond-reference PCM verification
         pass for (beat-)periodic content: the top-K energy-correlation
         peaks each get a GCC-PHAT verification on the raw PCM and the
-        best-supported one wins (verify_candidate_offsets). Costs K
-        extra FFT passes; the default keeps the reference behavior."""
+        best-supported one wins (verify_candidate_offsets).
+
+        - None (DEFAULT): adaptive — verify with K=_VERIFY_TOP_K only
+          when the correlation comb is ambiguous (result.ambiguity >
+          _AMBIGUITY_ONSET); unambiguous content pays nothing.
+        - 1: never verify (the reference's raw behavior; the comb-
+          ambiguity confidence penalty still applies, so a wrong
+          periodic answer is reported at low confidence rather than
+          0.7+).
+        - K > 1: always verify with K candidates.
+
+        When verification decisively confirms one offset (PHAT margin,
+        see verify_candidate_offsets) the ambiguity penalty is lifted:
+        confidence is restored to the verbatim correlation confidence
+        (alignment.go:183-243). An indecisive verification keeps the
+        penalized confidence, so downstream accept thresholds reject
+        the measurement instead of publishing a coin flip."""
         q = short_time_energy(
             jnp.asarray(query_pcm, dtype=jnp.float32),
             self.config.window_size,
@@ -442,7 +477,11 @@ class AlignmentExtractor:
         )
         analyzer = self._analyzer("hybrid", max_lag_frames)
         res = analyzer.align_features(q[:, None], r[:, None], sample_rate)
-        if verify_top_peaks > 1 and res.cross_corr_result is not None:
+        if verify_top_peaks is None:
+            k = _VERIFY_TOP_K if res.ambiguity > _AMBIGUITY_ONSET else 1
+        else:
+            k = verify_top_peaks
+        if k > 1 and res.cross_corr_result is not None:
             corr = np.asarray(res.cross_corr_result.correlations)
             lags = np.asarray(res.cross_corr_result.lags)
             # top-K well-separated local peaks of |corr|
@@ -450,7 +489,7 @@ class AlignmentExtractor:
             picked: list = []
             min_sep = max(int(0.1 * sample_rate / self.config.hop_size), 2)
             for i in order:
-                if len(picked) >= verify_top_peaks:
+                if len(picked) >= k:
                     break
                 if all(abs(int(lags[i]) - p) >= min_sep for p in picked):
                     picked.append(int(lags[i]))
@@ -459,12 +498,18 @@ class AlignmentExtractor:
             ]
             if res.offset_seconds not in candidates:
                 candidates.append(res.offset_seconds)
-            best_off, _ = self.verify_candidate_offsets(
+            best_off, best_val, margin = self.verify_candidate_offsets(
                 jnp.asarray(query_pcm), jnp.asarray(reference_pcm),
                 sample_rate, candidates,
             )
             res.offset = int(round(best_off * sample_rate))
             res.offset_seconds = best_off
+            if best_val >= _VERIFY_FLOOR and margin >= _VERIFY_MARGIN:
+                # PCM decisively confirms this offset: lift the comb-
+                # ambiguity penalty (the verbatim correlation confidence
+                # is the honest score for a verified peak).
+                restored = correlation_confidence(res.cross_corr_result)
+                res.confidence = max(res.confidence, restored)
         fa = FeatureAlignment(res, "energy", True)
         return AlignmentFeatures(
             best_alignment=fa,

@@ -43,6 +43,57 @@ from sonido_sonar_tpu.ops.stats.dtw import DTWResult, dtw_align
 
 _EPS = 1e-10
 
+# Comb-ambiguity penalty constants (NOTE deviation): beat-periodic
+# content produces an energy-correlation comb whose secondary peaks sit
+# one beat period away from the main peak at 0.9-0.98 of its height;
+# the reference's second-peak penalty (alignment.go:222-228) measures
+# the ADJACENT bin (always ~1.0 of the peak by continuity) so it cannot
+# see this. We measure the strongest peak more than `min_sep` bins away
+# and subtract up to _AMBIGUITY_CAP from the correlation confidence —
+# enough to push a comb-ambiguous answer below every per-content accept
+# threshold (0.55-0.75, config/config.py) unless PCM-level verification
+# (extractors/alignment.py verify_candidate_offsets) confirms the peak.
+# Empirically (eval_accuracy.py --full): beat-comb cases score
+# ambiguity 0.91-0.98, unambiguous tone/speech score <= 0.41.
+_AMBIGUITY_ONSET = 0.75
+_AMBIGUITY_SLOPE = 1.6
+_AMBIGUITY_CAP = 0.4
+
+# PCM-verification policy (shared by the per-pair extractor and the
+# batched aligner): K candidates to GCC-PHAT-verify when the comb is
+# ambiguous, and the decisiveness gate — the winning whitened peak must
+# clear an absolute floor and beat every differently-refining candidate
+# by _VERIFY_MARGIN (measured 9-54x true-vs-false on beat-comb material,
+# so 1.5 is conservative). A decisive verification lifts the ambiguity
+# penalty; an indecisive one keeps it, so downstream accept thresholds
+# reject the measurement instead of publishing a coin flip.
+_VERIFY_TOP_K = 5
+_VERIFY_FLOOR = 0.02
+_VERIFY_MARGIN = 1.5
+
+
+def comb_ambiguity(correlations, peak_index: int, min_sep: int) -> float:
+    """Ratio of the strongest well-separated secondary peak (> min_sep
+    bins from the main peak) to the main peak, in [0, 1]. ~1.0 means the
+    lag estimate is comb-ambiguous (periodic content); < ~0.5 means the
+    peak is unique."""
+    c = np.abs(np.asarray(correlations, dtype=np.float64))
+    if c.ndim != 1 or c.size == 0:
+        return 0.0
+    pk = int(peak_index)
+    mask = np.abs(np.arange(c.size) - pk) > min_sep
+    if not mask.any():
+        return 0.0
+    peak = float(c[pk])
+    if peak <= _EPS:
+        return 0.0
+    return min(float(c[mask].max()) / peak, 1.0)
+
+
+def ambiguity_penalty(ambiguity: float) -> float:
+    """Confidence penalty for a comb-ambiguous correlation peak."""
+    return min(_AMBIGUITY_CAP, _AMBIGUITY_SLOPE * max(0.0, ambiguity - _AMBIGUITY_ONSET))
+
 
 @dataclass
 class AlignmentResult:
@@ -62,6 +113,7 @@ class AlignmentResult:
     processing_time: float = 0.0
     dtw_result: Optional[DTWResult] = None
     cross_corr_result: Optional[CorrelationResult] = None
+    ambiguity: float = 0.0      # comb-ambiguity of the correlation peak
 
 
 class AlignmentAnalyzer:
@@ -153,6 +205,14 @@ class AlignmentAnalyzer:
         similarity = min(1.0, max(0.0, abs(peak_corr)))
         confidence = correlation_confidence(corr)
         quality = correlation_quality(corr, self.max_lag)
+        # NOTE deviation: comb-ambiguity penalty (see constants above).
+        # The verbatim confidence formula scores a beat-comb peak 0.7+
+        # while the answer is a coin flip between beat multiples; the
+        # penalty keeps such answers below the accept thresholds until
+        # PCM verification confirms the peak.
+        min_sep = max(int(0.1 * sr / max(self.hop_size, 1)), 2)
+        amb = comb_ambiguity(corr.correlations, int(corr.peak_index), min_sep)
+        confidence = max(0.0, confidence - ambiguity_penalty(amb))
         # positive = reference delayed (see module docstring sign note).
         # Sub-frame refinement: parabolic interpolation of the peak's
         # neighbors gives lag accuracy well below one hop (the reference
@@ -180,6 +240,7 @@ class AlignmentAnalyzer:
             reference_length=n2,
             sample_rate=sr,
             cross_corr_result=corr,
+            ambiguity=amb,
         )
 
     # -- DTW path -----------------------------------------------------------
@@ -270,7 +331,14 @@ class AlignmentAnalyzer:
         sagged with the shrinking overlap. Reported fields keep the
         reference's verbatim weighting."""
         corr_res = self._align_xcorr(query, reference, sr)
-        if corr_res.confidence > 0.7:
+        # Route on the UNPENALIZED confidence: comb ambiguity means the
+        # peak choice needs external (PCM) verification, which DTW over
+        # the same periodic feature series cannot provide — falling
+        # through to DTW would cost a banded fill and learn nothing.
+        # The reported confidence keeps the penalty, so an unverified
+        # ambiguous answer still fails the accept thresholds.
+        corr_gate = corr_res.confidence + ambiguity_penalty(corr_res.ambiguity)
+        if corr_gate > 0.7:
             return corr_res
         try:
             dtw_res = self._align_dtw(query, reference, sr)
@@ -294,6 +362,7 @@ class AlignmentAnalyzer:
             sample_rate=sr,
             dtw_result=dtw_res.dtw_result,
             cross_corr_result=corr_res.cross_corr_result,
+            ambiguity=corr_res.ambiguity,
         )
 
     # -- consistency (alignment.go:710-795) ---------------------------------

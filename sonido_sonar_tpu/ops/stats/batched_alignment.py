@@ -202,7 +202,20 @@ def _dtw_path_scores(qs, rs, cs, length, raw_cost, n: int, m: int):
 # jitted batch programs
 # ---------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_lag", "hop_size", "t1", "t2"))
+def ambiguity_penalty_batch(ambiguity):
+    """Vectorized ops/stats/alignment.ambiguity_penalty (comb-ambiguity
+    confidence penalty — see the constants' NOTE deviation there)."""
+    from sonido_sonar_tpu.ops.stats.alignment import (
+        _AMBIGUITY_CAP, _AMBIGUITY_ONSET, _AMBIGUITY_SLOPE,
+    )
+
+    return jnp.minimum(
+        _AMBIGUITY_CAP,
+        _AMBIGUITY_SLOPE * jnp.maximum(0.0, ambiguity - _AMBIGUITY_ONSET),
+    )
+
+
+@partial(jax.jit, static_argnames=("max_lag", "hop_size", "t1", "t2", "min_sep", "top_k"))
 def xcorr_align_batch(
     query: jnp.ndarray,       # [B, T1] 1-D feature series (energy)
     reference: jnp.ndarray,   # [B, T2]
@@ -210,9 +223,19 @@ def xcorr_align_batch(
     hop_size: int,
     t1: int,
     t2: int,
+    min_sep: int = 0,
+    top_k: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Batched alignWithCrossCorrelation (alignment.go:151-181) with the
-    analyzer's parabolic sub-frame peak refinement."""
+    analyzer's parabolic sub-frame peak refinement.
+
+    min_sep > 0 additionally computes the comb-ambiguity ratio (the
+    strongest peak more than min_sep bins from the main one, relative to
+    it) and applies the analyzer's ambiguity penalty to `confidence`;
+    the unpenalized value is returned as `confidence_gate` (used for the
+    hybrid 0.7 routing gate, matching AlignmentAnalyzer._align_hybrid).
+    top_k > 1 also returns the top-K well-separated peak lags [B, K]
+    (candidates for batched PCM verification)."""
 
     def one(q, r):
         corr = _ncc_arrays(q, r, max_lag, t1, t2)
@@ -232,23 +255,55 @@ def xcorr_align_batch(
         )
         lag_refined = peak_lag.astype(jnp.float32) + jnp.where(ok, shift, 0.0)
         offset = jnp.round(-lag_refined * hop_size).astype(jnp.int32)
-        return peak_corr, peak_lag, snr, sharp, second, psl, offset
 
-    peak_corr, peak_lag, snr, sharp, second, psl, offset = jax.vmap(one)(
+        abs_c = jnp.abs(corr)
+        idx = jnp.arange(num_lags)
+        sep = max(min_sep, 1)
+        masked = jnp.where(jnp.abs(idx - peak_idx) <= sep, -jnp.inf, abs_c)
+        second_sep = jnp.max(masked)
+        amb = jnp.clip(
+            jnp.where(
+                jnp.isfinite(second_sep),
+                second_sep / jnp.maximum(abs_c[peak_idx], _EPS),
+                0.0,
+            ),
+            0.0, 1.0,
+        )
+        # top-K well-separated peaks (greedy argmax + suppression),
+        # mirroring the per-pair candidate picker in
+        # extractors/alignment.py align_audio_files
+        picks = [peak_idx]
+        for _ in range(top_k - 1):
+            p = jnp.argmax(masked)
+            picks.append(p)
+            masked = jnp.where(jnp.abs(idx - p) <= sep, -jnp.inf, masked)
+        topk_lags = jnp.stack(picks).astype(jnp.int32) - max_lag
+        return peak_corr, peak_lag, snr, sharp, second, psl, offset, amb, topk_lags
+
+    peak_corr, peak_lag, snr, sharp, second, psl, offset, amb, topk_lags = jax.vmap(one)(
         query.astype(jnp.float32), reference.astype(jnp.float32)
     )
     similarity = jnp.clip(jnp.abs(peak_corr), 0.0, 1.0)
     confidence = correlation_confidence_batch(peak_corr, sharp, psl, snr, second)
     quality = correlation_quality_batch(peak_corr, sharp, psl, snr, peak_lag, max_lag)
-    return {
+    out = {
         "offset_samples": offset,
         "peak_lag": peak_lag,
         "peak_correlation": peak_corr,
         "similarity": similarity,
         "confidence": confidence,
+        "confidence_gate": confidence,
         "quality": quality,
         "noise_level": 1.0 - snr / 20.0,
     }
+    if min_sep > 0:
+        out["ambiguity"] = amb
+        out["confidence"] = jnp.maximum(
+            0.0, confidence - ambiguity_penalty_batch(amb)
+        )
+    if top_k > 1:
+        out["topk_lags"] = topk_lags
+    return out
 
 
 @partial(jax.jit, static_argnames=("band", "hop_size", "n", "m"))
@@ -269,7 +324,9 @@ def dtw_align_batch(
     )
     from sonido_sonar_tpu.ops.stats.pallas_dtw import (
         fill_banded_pallas_batch,
+        fill_banded_pallas_scan_batch,
         pallas_dtw_available,
+        pallas_dtw_scan_available,
     )
 
     if query.ndim == 2:
@@ -281,6 +338,8 @@ def dtw_align_batch(
 
     if pallas_dtw_available(band):
         costs = fill_banded_pallas_batch(q, r, band, n, m)
+    elif pallas_dtw_scan_available(band):
+        costs = fill_banded_pallas_scan_batch(q, r, band, n, m)
     else:
         costs = jax.vmap(lambda a, b: _fill_banded(a, b, band, n, m))(q, r)
     if pallas_backtrack_available(band):
@@ -310,12 +369,15 @@ def batched_hybrid_align(
     sample_rate: int,
     dtw_band: int = 50,
     skip_dtw_if_confident: bool = True,
+    top_k: int = 1,
 ) -> Dict[str, np.ndarray]:
     """Hybrid alignment for B pairs of 1-D feature series.
 
     Policy identical to AlignmentAnalyzer._align_hybrid (including its
-    documented consistency-gate deviation from alignment.go:308-337):
-      - accept xcorr when its confidence > 0.7
+    documented consistency-gate and comb-ambiguity deviations from
+    alignment.go:308-337):
+      - accept xcorr when its UNPENALIZED confidence > 0.7 (the routing
+        gate; the reported confidence carries the ambiguity penalty)
       - otherwise run banded DTW, scale its confidence by
         sqrt(offset_consistency), take the more confident offset,
         report the reference's verbatim 0.6/0.4 + 0.7/0.3 blends
@@ -323,28 +385,37 @@ def batched_hybrid_align(
     (one host sync on the [B] confidence vector).
 
     Returns numpy arrays: offset_samples, offset_seconds, confidence,
-    similarity, quality, method (0 = correlation accepted,
-    1 = hybrid/corr winner, 2 = hybrid/DTW winner).
+    similarity, quality, ambiguity, method (0 = correlation accepted,
+    1 = hybrid/corr winner, 2 = hybrid/DTW winner); plus topk_lags
+    [B, top_k] when top_k > 1 (verification candidates).
     """
     q = jnp.asarray(query_energy)
     r = jnp.asarray(reference_energy)
     t1, t2 = int(q.shape[-1]), int(r.shape[-1])
     max_lag = max(min(max_lag, t1 - 1, t2 - 1), 0)
+    min_sep = max(int(0.1 * sample_rate / max(hop_size, 1)), 2)
 
-    xc = xcorr_align_batch(q, r, max_lag, hop_size, t1, t2)
+    xc = xcorr_align_batch(
+        q, r, max_lag, hop_size, t1, t2, min_sep=min_sep, top_k=top_k
+    )
     corr_off = np.asarray(xc["offset_samples"])
     corr_conf = np.asarray(xc["confidence"])
+    corr_gate = np.asarray(xc["confidence_gate"])
     corr_sim = np.asarray(xc["similarity"])
     corr_q = np.asarray(xc["quality"])
 
-    accepted = corr_conf > 0.7
+    accepted = corr_gate > 0.7
     out = {
         "offset_samples": corr_off.copy(),
         "confidence": corr_conf.copy(),
+        "confidence_unpenalized": corr_gate.copy(),
         "similarity": corr_sim.copy(),
         "quality": corr_q.copy(),
+        "ambiguity": np.asarray(xc["ambiguity"]),
         "method": np.zeros(corr_off.shape[0], dtype=np.int32),
     }
+    if top_k > 1:
+        out["topk_lags"] = np.asarray(xc["topk_lags"])
 
     need_dtw = ~accepted
     if need_dtw.any() or not skip_dtw_if_confident:
@@ -398,8 +469,9 @@ def batched_hybrid_align_device(
     r = jnp.asarray(reference_energy)
     t1, t2 = int(q.shape[-1]), int(r.shape[-1])
     max_lag = max(min(max_lag, t1 - 1, t2 - 1), 0)
+    min_sep = max(int(0.1 * sample_rate / max(hop_size, 1)), 2)
 
-    xc = xcorr_align_batch(q, r, max_lag, hop_size, t1, t2)
+    xc = xcorr_align_batch(q, r, max_lag, hop_size, t1, t2, min_sep=min_sep)
     band = dtw_band
     if band > 0 and max_lag > 0:
         band = max(band, max_lag)
@@ -409,9 +481,10 @@ def batched_hybrid_align_device(
     dt = dtw_align_batch(q, r, band, hop_size, t1, t2)
 
     corr_off, corr_conf = xc["offset_samples"], xc["confidence"]
+    corr_gate = xc["confidence_gate"]
     dtw_conf = dt["confidence"]
     eff_conf = dtw_conf * jnp.sqrt(dt["offset_consistency"])
-    accepted = corr_conf > 0.7
+    accepted = corr_gate > 0.7
     need_dtw = ~accepted
     dtw_wins = need_dtw & (eff_conf >= corr_conf)
     offset = jnp.where(dtw_wins, dt["offset_samples"], corr_off)
@@ -421,12 +494,14 @@ def batched_hybrid_align_device(
         "confidence": jnp.where(
             need_dtw, 0.6 * dtw_conf + 0.4 * corr_conf, corr_conf
         ),
+        "confidence_unpenalized": corr_gate,
         "similarity": jnp.where(
             need_dtw,
             0.7 * dt["similarity"] + 0.3 * xc["similarity"],
             xc["similarity"],
         ),
         "quality": jnp.where(need_dtw, dt["quality"], xc["quality"]),
+        "ambiguity": xc["ambiguity"],
         "method": jnp.where(
             need_dtw, jnp.where(dtw_wins, 2, 1), 0
         ).astype(jnp.int32),
@@ -443,6 +518,7 @@ def batched_align_audio(
     dtw_band: int = 50,
     refine: bool = False,
     energy_impl: str = "framed",
+    verify: bool = None,
 ) -> Dict[str, np.ndarray]:
     """AlignAudio for B pairs (alignment.go:109-130): short-time RMS
     energy series -> batched hybrid alignment; optional fused GCC-PHAT
@@ -452,7 +528,28 @@ def batched_align_audio(
     bit-identical to the per-pair analyzer's short_time_energy;
     "cumsum" is the O(N) prefix-sum formulation used by the Pallas
     pipeline (equal to ~1e-6, cheaper for long batches).
+
+    verify controls the beyond-reference PCM disambiguation (the batched
+    counterpart of AlignmentExtractor.align_audio_files' adaptive
+    default):
+      - None (DEFAULT): when any pair's energy-correlation comb is
+        ambiguous (ambiguity > _AMBIGUITY_ONSET), its top-K correlation
+        peaks are GCC-PHAT-verified on the raw PCM in one batched pass
+        and the best-supported offset wins; a decisive verification
+        (peak >= _VERIFY_FLOOR, margin >= _VERIFY_MARGIN vs candidates
+        refining elsewhere) lifts the comb-ambiguity confidence penalty.
+      - False: never verify (wrong periodic answers still arrive at
+        LOW confidence via the ambiguity penalty).
+      - True: verify every pair.
+    Adds output fields: `verified` [B] bool (PCM pass applied),
+    `verify_margin` [B] (0 where not verified).
     """
+    from sonido_sonar_tpu.ops.stats.alignment import (
+        _AMBIGUITY_ONSET,
+        _VERIFY_FLOOR,
+        _VERIFY_MARGIN,
+        _VERIFY_TOP_K,
+    )
     from sonido_sonar_tpu.ops.temporal import (
         short_time_energy,
         short_time_energy_cumsum,
@@ -464,9 +561,66 @@ def batched_align_audio(
     qe = energy(q, window_size, hop_size)
     re_ = energy(r, window_size, hop_size)
     max_lag = int(max_lag_seconds * sample_rate) // hop_size
+    top_k = 1 if verify is False else _VERIFY_TOP_K
     out = batched_hybrid_align(
-        qe, re_, max_lag, hop_size, sample_rate, dtw_band=dtw_band
+        qe, re_, max_lag, hop_size, sample_rate, dtw_band=dtw_band,
+        top_k=top_k,
     )
+    b = out["offset_samples"].shape[0]
+    out["verified"] = np.zeros(b, dtype=bool)
+    out["verify_margin"] = np.zeros(b, dtype=np.float64)
+    if verify is True:
+        need = np.ones(b, dtype=bool)
+    elif verify is False:
+        need = np.zeros(b, dtype=bool)
+    else:
+        need = out["ambiguity"] > _AMBIGUITY_ONSET
+    if need.any():
+        from sonido_sonar_tpu.parallel.pipeline import batched_phat_candidates
+
+        # candidates: top-K well-separated correlation peaks plus the
+        # hybrid's chosen offset (identical to the per-pair picker in
+        # extractors/alignment.py align_audio_files)
+        cand = np.concatenate(
+            [
+                -out["topk_lags"].astype(np.float64) * hop_size / sample_rate,
+                out["offset_seconds"][:, None],
+            ],
+            axis=1,
+        )
+        refined, peaks = batched_phat_candidates(
+            q, r, jnp.asarray(cand, dtype=jnp.float32), sample_rate,
+            hop_size=hop_size,
+        )
+        refined = np.asarray(refined, dtype=np.float64)
+        peaks = np.asarray(peaks, dtype=np.float64)
+        rows = np.arange(b)
+        k_star = peaks.argmax(axis=1)
+        best_off = refined[rows, k_star]
+        best_val = peaks[rows, k_star]
+        hop_s = hop_size / float(sample_rate)
+        rival = np.where(
+            np.abs(refined - best_off[:, None]) > hop_s, peaks, 0.0
+        ).max(axis=1)
+        margin = best_val / np.maximum(rival, 1e-9)
+        decisive = (best_val >= _VERIFY_FLOOR) & (margin >= _VERIFY_MARGIN)
+        out["offset_samples"] = np.where(
+            need,
+            np.round(best_off * sample_rate).astype(np.int64),
+            out["offset_samples"],
+        )
+        # a decisive PCM confirmation lifts the comb-ambiguity penalty
+        # (the verbatim correlation confidence is the honest score for
+        # a verified peak); indecisive keeps the penalized value so
+        # accept thresholds reject the measurement
+        out["confidence"] = np.where(
+            need & decisive,
+            np.maximum(out["confidence"], out["confidence_unpenalized"]),
+            out["confidence"],
+        )
+        out["verified"] = need
+        out["verify_margin"] = np.where(need, margin, 0.0)
+    out["offset_seconds"] = out["offset_samples"] / float(sample_rate)
     if refine:
         from sonido_sonar_tpu.parallel.pipeline import batched_refine_offsets
 

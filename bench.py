@@ -281,6 +281,31 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # secondary: full music-extractor throughput (VERDICT r2 item #4):
+    # fingerprint features + chroma/key/chord + onsets/tempo + per-frame
+    # pitch/HNR/inharmonicity as one jitted program
+    from sonido_sonar_tpu.parallel.pipeline import batched_music_extractor_features
+
+    def music_step(x):
+        return batched_music_extractor_features(
+            x, sample_rate=sr, window_size=1024, hop_size=256
+        )
+
+    float(music_step(sp_in)["tempo_bpm"].sum())  # warmup/compile
+    mu_times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        out_mu = music_step(inputs[i % len(inputs)][:sp_batch, : sr * sp_secs])
+        float(out_mu["tempo_bpm"].sum())
+        mu_times.append(time.perf_counter() - t0)
+    mu_step = sorted(mu_times)[len(mu_times) // 2]
+    mu_ahh = (sp_batch * sp_secs) / mu_step
+    print(
+        f"[bench] music-extractor: {mu_ahh:.0f} audio-h/h/chip "
+        f"({mu_step*1000:.1f} ms per {sp_batch}x{sp_secs}s)",
+        file=sys.stderr,
+    )
+
     # secondary: device-side batched comparator throughput (VERDICT r1
     # item #2): one query scored against a large packed corpus
     from sonido_sonar_tpu.fingerprint.device_compare import (

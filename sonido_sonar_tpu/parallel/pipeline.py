@@ -189,6 +189,138 @@ def batched_speech_extractor_features(
     return out
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sample_rate", "window_size", "hop_size", "enable_cqt",
+        "enable_hpcp",
+    ),
+)
+def batched_music_extractor_features(
+    pcm: jnp.ndarray,
+    sample_rate: int = 44100,
+    window_size: int = 1024,
+    hop_size: int = 256,
+    enable_cqt: bool = False,
+    enable_hpcp: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Full music-extractor surface batched over [B, N] PCM as ONE
+    jitted program (VERDICT r2 item #4): everything
+    extractors/music.MusicFeatureExtractor computes per signal
+    (fingerprint/extractors/music.go:178-243 — DC removal + music
+    pre-emphasis, 6-band contrast spectral set, MFCC 13/26/lifter-22,
+    chroma, flux onsets 0.3/50 ms, -40 dB silence, interval-histogram
+    tempo, per-frame pitch/HNR/inharmonicity) plus the tonal payload the
+    music comparator weights reference (key correlations, per-frame
+    chord match) and optional CQT/HPCP chromas (precomputed-kernel
+    matmuls on the MXU).
+
+    Parity: tests/test_parallel.py asserts equality with the per-signal
+    MusicFeatureExtractor on every shared field."""
+    from sonido_sonar_tpu.ops.chroma import (
+        chroma_cqt,
+        chroma_from_magnitude,
+        hpcp_from_magnitude,
+        key_correlations,
+    )
+    from sonido_sonar_tpu.ops.filters import dc_removal, pre_emphasis_for_content
+    from sonido_sonar_tpu.ops.mfcc import MFCCParams, mfcc
+    from sonido_sonar_tpu.ops.pitch import PitchParams, yin_pitch
+    from sonido_sonar_tpu.ops.speech import hnr_acf
+    from sonido_sonar_tpu.ops.stft import spectral_flux, stft
+    from sonido_sonar_tpu.ops.tonal import _CHORD_MATRIX
+
+    x = pcm.astype(jnp.float32)
+    pre = pre_emphasis_for_content(dc_removal(x), "music")
+    mag = stft(x, window_size, hop_size, sample_rate=sample_rate).magnitude
+    t = mag.shape[-2]
+    out: Dict[str, jnp.ndarray] = {}
+
+    # ---- spectral (music.go:261-302): shared-pass bundle + 6-band
+    # contrast; ZCR on the preprocessed signal's frames --------------
+    out.update(S.spectral_descriptor_bundle(mag, sample_rate))
+    out["spectral_contrast"] = S.spectral_contrast(mag, sample_rate, 6)
+    pre_frames = frame_signal(pre, window_size, hop_size)
+    out["zcr"] = S.zcr(pre_frames[..., :t, :], sample_rate)
+
+    # ---- MFCC {13, 26 filters, lifter 22} (music.go:114-123) -------
+    out["mfcc"] = mfcc(
+        mag, sample_rate, window_size,
+        MFCCParams(num_coefficients=13, num_mel_filters=26, lifter_coeff=22.0),
+    )
+
+    # ---- chroma + key + chords -------------------------------------
+    chroma = chroma_from_magnitude(mag, sample_rate, window_size)
+    out["chroma"] = chroma
+    out["key_correlations"] = key_correlations(jnp.mean(chroma, axis=-2))
+    cn = chroma / jnp.maximum(
+        jnp.linalg.norm(chroma, axis=-1, keepdims=True), _EPS
+    )
+    chord_sims = jnp.matmul(
+        cn, jnp.asarray(_CHORD_MATRIX).T, preferred_element_type=jnp.float32
+    )                                                  # [B, T, n_chords]
+    out["chord_index"] = jnp.argmax(chord_sims, axis=-1).astype(jnp.int32)
+    out["chord_score"] = jnp.max(chord_sims, axis=-1)
+
+    # ---- temporal (music.go:378-430) -------------------------------
+    out["rms_energy"] = T.short_time_energy(pre, window_size, hop_size)
+    flux = spectral_flux(mag)
+    onset_mask, onset_count = T.detect_onsets_from_flux(
+        flux, hop_size, sample_rate, threshold=0.3, min_interval_sec=0.05
+    )
+    duration = x.shape[-1] / float(sample_rate)
+    out["onset_mask"] = onset_mask
+    out["onset_density"] = onset_count.astype(jnp.float32) / duration
+    out["attack_time"] = jnp.where(onset_mask, 0.01, 0.0)
+    out["peak_amplitude"] = jnp.max(jnp.abs(pre), axis=-1)
+    out["average_amplitude"] = jnp.mean(jnp.abs(pre), axis=-1)
+    out["dynamic_range"] = T.dynamic_range_db(pre, window_size, hop_size)
+    out["crest_factor"] = T.crest_factor_frames(pre, window_size, hop_size)
+    silence = T.silence_mask_db(pre, window_size, hop_size, -40.0)
+    out["silence_ratio"] = jnp.mean(silence.astype(jnp.float32), axis=-1)
+    out["envelope_shape"] = T.rms_envelope(pre, 512, 256)
+    out["tempo_bpm"] = T.estimate_tempo(pre, sample_rate)
+
+    # ---- energy (music.go:478-525) ---------------------------------
+    ste = out["rms_energy"]
+    out["energy_variance"] = T.energy_variance(ste)
+    out["energy_entropy"] = jnp.where(ste > 0, -ste * jnp.log(ste + 1e-10), 0.0)
+    out["loudness_range"] = T.loudness_range(pre, sample_rate)
+    power = mag * mag
+    split = mag.shape[-1] // 4
+    total = jnp.sum(power, axis=-1)
+    out["low_energy_ratio"] = jnp.where(
+        total > 0, jnp.sum(power[..., :split], axis=-1) / jnp.maximum(total, _EPS), 0.0
+    )
+    out["high_energy_ratio"] = jnp.where(
+        total > 0, jnp.sum(power[..., split:], axis=-1) / jnp.maximum(total, _EPS), 0.0
+    )
+
+    # ---- harmonic (music.go:528-592): contiguous frame split -------
+    frame_size = x.shape[-1] // t
+    frames = pre[..., : t * frame_size].reshape(pre.shape[:-1] + (t, frame_size))
+    pitch, conf, voicing = yin_pitch(
+        frames, PitchParams(sample_rate=sample_rate, window_size=frame_size)
+    )
+    hnr = hnr_acf(frames, sample_rate, jnp.maximum(pitch, 1.0))
+    out["pitch"] = pitch
+    out["pitch_confidence"] = conf
+    out["voicing"] = voicing
+    out["hnr"] = jnp.where(pitch > 0, hnr, 0.0)
+    out["inharmonicity"] = jnp.where(
+        (pitch > 0) & (conf > 0.5), 1.0 - jnp.clip(voicing, 0.0, 1.0), 0.0
+    )
+    out["tonal_centroid"] = out["spectral_centroid"][..., :t] * voicing
+
+    # ---- optional CQT/HPCP chromas (beyond the per-signal payload):
+    # both are precomputed-constant matmuls that ride the MXU ---------
+    if enable_cqt:
+        out["chroma_cqt"] = chroma_cqt(x, sample_rate)
+    if enable_hpcp:
+        out["hpcp"] = hpcp_from_magnitude(mag, sample_rate, window_size)
+    return out
+
+
 @dataclass
 class BatchedFingerprintPipeline:
     """Mesh-sharded fingerprint pipeline.

@@ -193,3 +193,79 @@ def test_batched_refine_offsets_exact():
     )
     got = np.round(np.asarray(refined) * sr).astype(int)
     np.testing.assert_array_equal(got, np.asarray(true_lags))
+
+
+def test_batched_music_extractor_matches_per_signal():
+    """VERDICT r2 item #4: the one-program batched music extractor
+    equals the per-signal MusicFeatureExtractor on every shared field
+    (plus key/chord/CQT/HPCP extras are well-formed)."""
+    from sonido_sonar_tpu.extractors.music import MusicFeatureExtractor
+    from sonido_sonar_tpu.io.synth import music_like
+    from sonido_sonar_tpu.ops.stft import stft
+    from sonido_sonar_tpu.parallel.pipeline import (
+        batched_music_extractor_features,
+    )
+
+    sr, w, h = SR, 512, 128
+    pcm = np.stack(
+        [music_like(4.0, sr, seed=s).astype(np.float32) for s in (1, 2)]
+    )
+    out = batched_music_extractor_features(
+        jnp.asarray(pcm), sample_rate=sr, window_size=w, hop_size=h,
+        enable_cqt=True, enable_hpcp=True,
+    )
+
+    cfg = FeatureConfig(
+        sample_rate=sr, window_size=w, hop_size=h,
+        enable_harmonic_features=True,
+    )
+    ext = MusicFeatureExtractor(cfg)
+    for b in range(2):
+        spec = stft(jnp.asarray(pcm[b]), w, h, sample_rate=sr)
+        ref = ext.extract_features(spec, jnp.asarray(pcm[b]), sr)
+        sf, tf, ef, hf = (
+            ref.spectral_features, ref.temporal_features,
+            ref.energy_features, ref.harmonic_features,
+        )
+        pairs = [
+            (out["mfcc"][b], ref.mfcc),
+            (out["chroma"][b], ref.chroma_features),
+            (out["spectral_centroid"][b], sf.spectral_centroid),
+            (out["spectral_contrast"][b], sf.spectral_contrast),
+            (out["zcr"][b], sf.zero_crossing_rate),
+            (out["rms_energy"][b], tf.rms_energy),
+            (out["onset_mask"][b], tf.onset_mask),
+            (out["onset_density"][b], tf.onset_density),
+            (out["dynamic_range"][b], tf.dynamic_range),
+            (out["crest_factor"][b], tf.crest_factor),
+            (out["silence_ratio"][b], tf.silence_ratio),
+            (out["envelope_shape"][b], tf.envelope_shape),
+            (out["tempo_bpm"][b], tf.tempo_bpm),
+            (out["energy_variance"][b], ef.energy_variance),
+            (out["energy_entropy"][b], ef.energy_entropy),
+            (out["loudness_range"][b], ef.loudness_range),
+            (out["low_energy_ratio"][b], ef.low_energy_ratio),
+            (out["high_energy_ratio"][b], ef.high_energy_ratio),
+            (out["pitch"][b], hf.pitch_estimate),
+            (out["pitch_confidence"][b], hf.pitch_confidence),
+            (out["hnr"][b], hf.harmonic_ratio),
+            (out["inharmonicity"][b], hf.inharmonicity_ratio),
+            (out["tonal_centroid"][b], hf.tonal_centroid),
+        ]
+        for i, (got, want) in enumerate(pairs):
+            np.testing.assert_allclose(
+                np.asarray(got, dtype=np.float32),
+                np.asarray(want, dtype=np.float32),
+                rtol=2e-4, atol=2e-4, err_msg=f"field {i} (batch {b})",
+            )
+
+    # tonal extras: 24 key correlations in [-1, 1]; per-frame chord
+    # match against the template bank; CQT/HPCP chromas normalized
+    assert out["key_correlations"].shape == (2, 24)
+    assert float(jnp.max(jnp.abs(out["key_correlations"]))) <= 1.0 + 1e-6
+    t = out["chroma"].shape[1]
+    assert out["chord_index"].shape == (2, t)
+    assert out["chroma_cqt"].shape[-1] == 12
+    sums = np.asarray(jnp.sum(out["chroma_cqt"], axis=-1))
+    assert np.all((sums < 1.0 + 1e-4))
+    assert out["hpcp"].shape[-1] == 12

@@ -463,14 +463,13 @@ class FingerprintComparator:
         `prefilter_threshold` is retained for API compatibility: device
         scoring engages above it (default 0 = always).
 
-        With enable_detailed_metrics the confidence heuristic consumes
-        quality metrics the device kernel doesn't compute, so that
-        configuration routes to the host path too."""
+        With enable_detailed_metrics the device kernel also computes the
+        quality chain (batched_similarity_detailed) so mixed-content
+        corpora — where EnableDetailedMetrics defaults ON
+        (config.go:151) — keep the one-dispatch path."""
         max_results = max_results or self.config.max_candidates
         use_device = (
-            use_device_prefilter
-            and not self.config.enable_detailed_metrics
-            and len(candidates) > prefilter_threshold
+            use_device_prefilter and len(candidates) > prefilter_threshold
         )
         if not use_device:
             results = self.batch_compare(query, candidates)
@@ -504,12 +503,15 @@ class FingerprintComparator:
         packed-statistics device kernel (device_compare module). Returns
         SimilarityResults in candidate order (no skipping — the caller
         filters None/self). Matches the host `compare` to float32
-        rounding with enable_detailed_metrics=False."""
+        rounding; with enable_detailed_metrics the quality chain
+        (comparison.go:892-1008) runs in the same jitted program."""
         from sonido_sonar_tpu.fingerprint.device_compare import (
             FEATURE_ORDER,
             MATCH_CLASSES,
             comparator_matrix,
             pack_comparator_stats,
+            pack_quality_extras,
+            quality_matrix,
             sharded_batched_similarity,
         )
 
@@ -523,9 +525,19 @@ class FingerprintComparator:
         match = np.array(
             [query.content_type == c.content_type for c in candidates], dtype=bool
         )
+        detailed = self.config.enable_detailed_metrics
+        quality = None
+        if detailed:
+            c_avail, c_dur, c_series, c_len = quality_matrix(candidates)
+            q_avail, q_dur, q_series, q_len = pack_quality_extras(
+                query, c_series.shape[-1]
+            )
+            quality = (q_avail, q_dur, q_series, q_len,
+                       c_avail, c_dur, c_series, c_len)
         out = sharded_batched_similarity(
             qv, corpus, wvec, match, mesh=mesh, num_mfcc_coeffs=width,
             content_filter=self.config.enable_content_filter,
+            quality=quality,
         )
         elapsed = (time.monotonic() - t0) * 1000
         results = []
@@ -542,6 +554,17 @@ class FingerprintComparator:
                 processing_time=elapsed / len(candidates),
             )
             filtered = self.config.enable_content_filter and not match[i]
+            if detailed and not filtered:
+                # host early-out leaves quality_metrics None when the
+                # content filter rejects (comparison.go:160-166)
+                r.quality_metrics = ComparisonQualityMetrics(
+                    data_availability=float(out["data_availability"][i]),
+                    feature_coverage=float(out["feature_coverage"][i]),
+                    temporal_alignment=float(out["temporal_alignment"][i]),
+                    noise_level=float(out["noise_level"][i]),
+                    dynamic_range_match=float(out["dynamic_range_match"][i]),
+                    spectral_coherence=float(out["spectral_coherence"][i]),
+                )
             if not filtered:
                 for j, name in enumerate(FEATURE_ORDER):
                     if bool(out["feature_present"][i, j]):

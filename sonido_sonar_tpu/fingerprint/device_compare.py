@@ -176,6 +176,67 @@ def comparator_matrix(
     )
 
 
+def pack_quality_extras(
+    fp: AudioFingerprint, max_frames: int
+) -> Tuple[np.ndarray, float, np.ndarray, np.ndarray]:
+    """Per-fingerprint inputs of calculateQualityMetrics
+    (comparison.go:892-1008) that the stats layout doesn't carry:
+
+      avail  [6] float32 — not-None bits per feature group (the host's
+              data-availability test is `is not None`, NOT non-empty)
+      duration scalar (seconds)
+      series [2, max_frames] float32 — spectral centroid + rolloff
+              time series, zero-padded (spectral coherence needs the
+              raw series, not summary stats)
+      lengths [2] int32 — true series lengths (0 = series absent)
+    """
+    f = fp.features
+    avail = np.array(
+        [
+            f.mfcc is not None,
+            f.spectral_features is not None,
+            f.chroma_features is not None,
+            f.temporal_features is not None,
+            f.speech_features is not None,
+            f.harmonic_features is not None,
+        ],
+        dtype=np.float32,
+    )
+    series = np.zeros((2, max_frames), dtype=np.float32)
+    lengths = np.zeros(2, dtype=np.int32)
+    sf = f.spectral_features
+    if sf is not None:
+        for i, s in enumerate((sf.spectral_centroid, sf.spectral_rolloff)):
+            if s is None:
+                continue
+            s = np.asarray(s, dtype=np.float32).ravel()[:max_frames]
+            series[i, : s.size] = s
+            lengths[i] = s.size
+    return avail, float(fp.duration), series, lengths
+
+
+def quality_matrix(
+    fps: List[AudioFingerprint], max_frames: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Stack pack_quality_extras over a corpus:
+    ([C, 6] avail, [C] durations, [C, 2, T] series, [C, 2] lengths)."""
+    if max_frames is None:
+        max_frames = 1
+        for fp in fps:
+            sf = fp.features.spectral_features if fp.features else None
+            if sf is not None:
+                for s in (sf.spectral_centroid, sf.spectral_rolloff):
+                    if s is not None:
+                        max_frames = max(max_frames, int(np.asarray(s).size))
+    packed = [pack_quality_extras(fp, max_frames) for fp in fps]
+    return (
+        np.stack([p[0] for p in packed]),
+        np.array([p[1] for p in packed], dtype=np.float32),
+        np.stack([p[2] for p in packed]),
+        np.stack([p[3] for p in packed]),
+    )
+
+
 def content_weight_vector(content_type: ContentType) -> np.ndarray:
     """[6] weight vector in FEATURE_ORDER for getEffectiveWeights
     (comparison.go:1055-1104)."""
@@ -356,6 +417,132 @@ def batched_similarity(
     }
 
 
+@partial(jax.jit, static_argnames=("num_mfcc_coeffs", "content_filter"))
+def batched_similarity_detailed(
+    query: jnp.ndarray,            # [D]
+    corpus: jnp.ndarray,           # [C, D]
+    weights: jnp.ndarray,          # [6]
+    content_match: jnp.ndarray,    # [C] bool
+    q_avail: jnp.ndarray,          # [6]
+    c_avail: jnp.ndarray,          # [C, 6]
+    q_dur: jnp.ndarray,            # [] seconds
+    c_dur: jnp.ndarray,            # [C]
+    q_series: jnp.ndarray,         # [2, T] centroid + rolloff
+    c_series: jnp.ndarray,         # [C, 2, T]
+    q_len: jnp.ndarray,            # [2] int32
+    c_len: jnp.ndarray,            # [C, 2] int32
+    num_mfcc_coeffs: int = 13,
+    content_filter: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """batched_similarity + the EnableDetailedMetrics quality chain
+    (calculateQualityMetrics, comparison.go:892-1008) on device, so
+    mixed-content corpora (EnableDetailedMetrics defaults ON there,
+    config.go:151) keep the one-dispatch path. Adds keys:
+    data_availability, feature_coverage, temporal_alignment,
+    noise_level, dynamic_range_match, spectral_coherence (all [C]);
+    confidence includes the quality terms (comparison.go:1030-1033).
+
+    Spectral coherence is the masked two-pass Pearson over the first
+    min(len_q, len_c) frames of each series — float32 on device vs the
+    host's float64 corrcoef agrees to ~1e-4 (centered accumulation),
+    ample for a reported diagnostic that feeds nothing downstream.
+    """
+    base = batched_similarity(
+        query, corpus, weights, content_match,
+        num_mfcc_coeffs=num_mfcc_coeffs, content_filter=content_filter,
+    )
+    sims, present = base["feature_sims"], base["feature_present"]
+    n_present = present.sum(axis=-1).astype(jnp.float32)          # [C]
+
+    avail_n = (q_avail[None, :] * c_avail).sum(axis=-1)           # [C]
+    data_availability = avail_n / 6.0
+    feature_coverage = n_present / 6.0
+
+    dur_diff = jnp.abs(q_dur - c_dur)
+    max_dur = jnp.maximum(q_dur, c_dur)
+    temporal_alignment = jnp.where(
+        max_dur > 0, 1.0 - jnp.minimum(1.0, dur_diff / jnp.maximum(max_dur, _EPS)),
+        1.0,
+    )
+
+    # noise level = sqrt sample-variance of present-feature sims
+    # (estimateNoiseLevel, comparison.go:938-963): none -> 0.5, one -> 0
+    p = present.astype(jnp.float32)
+    mean = (sims * p).sum(axis=-1) / jnp.maximum(n_present, 1.0)
+    var = ((sims - mean[:, None]) ** 2 * p).sum(axis=-1) / jnp.maximum(
+        n_present - 1.0, 1.0
+    )
+    noise_level = jnp.where(
+        n_present == 0, 0.5,
+        jnp.where(n_present <= 1, 0.0, jnp.minimum(1.0, jnp.sqrt(var))),
+    )
+
+    # dynamic range match (comparison.go:966-975)
+    toff = _offsets(num_mfcc_coeffs)["temporal"]
+    dr1, dr2 = query[toff], corpus[:, toff]
+    t_avail = (q_avail[3] > 0) & (c_avail[:, 3] > 0)
+    dynamic_range_match = jnp.where(
+        t_avail & (dr1 > 0) & (dr2 > 0), _scalar_sim(dr1, dr2), 0.5
+    )
+
+    # spectral coherence (comparison.go:977-1008): mean |Pearson| over
+    # centroid + rolloff series truncated to the common length
+    n = jnp.minimum(q_len[None, :], c_len).astype(jnp.float32)    # [C, 2]
+    t_axis = jnp.arange(q_series.shape[-1], dtype=jnp.float32)
+    mask = t_axis[None, None, :] < n[..., None]                   # [C, 2, T]
+    qb = q_series[None, :, :] * mask
+    cb = c_series * mask
+    nn = jnp.maximum(n, 1.0)
+    mx = qb.sum(axis=-1) / nn                                     # [C, 2]
+    my = cb.sum(axis=-1) / nn
+    dx = (q_series[None, :, :] - mx[..., None]) * mask
+    dy = (c_series - my[..., None]) * mask
+    cov = (dx * dy).sum(axis=-1)
+    vx = (dx * dx).sum(axis=-1)
+    vy = (dy * dy).sum(axis=-1)
+    # A series the host sees as exactly constant (float64 variance 0 ->
+    # NaN corr -> skipped, comparison.py:_quality_metrics) can pick up a
+    # tiny float32 variance here from mean-subtraction rounding, turning
+    # a skipped series into a garbage near-zero corr that halves the
+    # mean (caught on-chip: constant rolloff of a pure tone). Require a
+    # relative std of > 1e-4 of the mean magnitude — genuine series sit
+    # orders of magnitude above, float32 rounding noise (~1e-7 rel)
+    # orders below.
+    tol_x = (1e-4 * (jnp.abs(mx) + 1.0)) ** 2 * nn
+    tol_y = (1e-4 * (jnp.abs(my) + 1.0)) ** 2 * nn
+    valid = (n > 1) & (vx > tol_x) & (vy > tol_y)
+    corr = jnp.abs(cov) / jnp.maximum(jnp.sqrt(vx * vy), _EPS)
+    n_valid = valid.sum(axis=-1).astype(jnp.float32)
+    spectral_coherence = jnp.where(
+        n_valid > 0,
+        (jnp.where(valid, corr, 0.0)).sum(axis=-1) / jnp.maximum(n_valid, 1.0),
+        0.5,
+    )
+
+    # confidence WITH quality terms (comparison.go:1011-1037): the
+    # availability/noise adjustments land before the [0, 1] clip
+    overall = base["overall"]
+    keep = content_match if content_filter else jnp.ones_like(content_match)
+    conf = (
+        0.5
+        + jnp.where(overall > 0.8, 0.3, jnp.where(overall > 0.6, 0.2, 0.0))
+        + jnp.where(content_match, 0.1, 0.0)
+        + n_present * 0.05
+        + data_availability * 0.1
+        - noise_level * 0.1
+    )
+    base["confidence"] = jnp.where(keep, jnp.clip(conf, 0.0, 1.0), 0.0)
+    base.update(
+        data_availability=data_availability,
+        feature_coverage=feature_coverage,
+        temporal_alignment=temporal_alignment,
+        noise_level=noise_level,
+        dynamic_range_match=dynamic_range_match,
+        spectral_coherence=spectral_coherence,
+    )
+    return base
+
+
 def sharded_batched_similarity(
     query_vec: np.ndarray,
     corpus: np.ndarray,
@@ -364,30 +551,50 @@ def sharded_batched_similarity(
     mesh: Optional[Mesh] = None,
     num_mfcc_coeffs: int = 13,
     content_filter: bool = False,
+    quality: Optional[Tuple] = None,
 ) -> Dict[str, np.ndarray]:
     """batched_similarity with the corpus rows sharded over a mesh
     ("data" axis); XLA keeps the whole chain local per shard (no
-    collectives until a consumer reduces). Pads to a device multiple."""
+    collectives until a consumer reduces). Pads to a device multiple.
+
+    `quality` = (q_avail, q_dur, q_series, q_len, c_avail, c_dur,
+    c_series, c_len) engages the detailed-metrics kernel; the corpus
+    series shard over "data" alongside the stats matrix."""
     c = corpus.shape[0]
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))
         pad = (-c) % n_dev
-        if pad:
-            corpus = np.pad(corpus, ((0, pad), (0, 0)))
-            content_match = np.pad(content_match, (0, pad))
-        corpus_dev = jax.device_put(
-            jnp.asarray(corpus), NamedSharding(mesh, P("data", None))
-        )
-        match_dev = jax.device_put(
-            jnp.asarray(content_match), NamedSharding(mesh, P("data"))
-        )
-        query_dev = jax.device_put(jnp.asarray(query_vec), NamedSharding(mesh, P()))
+
+        def shard(x, spec):
+            if pad:
+                x = np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+        def rep(x):
+            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+
+        corpus_dev = shard(corpus, P("data", None))
+        match_dev = shard(content_match, P("data"))
+        query_dev = rep(query_vec)
     else:
+        shard = lambda x, spec: jnp.asarray(x)
+        rep = jnp.asarray
         corpus_dev = jnp.asarray(corpus)
         match_dev = jnp.asarray(content_match)
         query_dev = jnp.asarray(query_vec)
-    out = batched_similarity(
-        query_dev, corpus_dev, jnp.asarray(weights), match_dev,
-        num_mfcc_coeffs=num_mfcc_coeffs, content_filter=content_filter,
-    )
+    if quality is None:
+        out = batched_similarity(
+            query_dev, corpus_dev, jnp.asarray(weights), match_dev,
+            num_mfcc_coeffs=num_mfcc_coeffs, content_filter=content_filter,
+        )
+    else:
+        q_avail, q_dur, q_series, q_len, c_avail, c_dur, c_series, c_len = quality
+        out = batched_similarity_detailed(
+            query_dev, corpus_dev, jnp.asarray(weights), match_dev,
+            rep(q_avail), shard(c_avail, P("data", None)),
+            rep(np.float32(q_dur)), shard(c_dur, P("data")),
+            rep(q_series), shard(c_series, P("data", None, None)),
+            rep(q_len), shard(c_len, P("data", None)),
+            num_mfcc_coeffs=num_mfcc_coeffs, content_filter=content_filter,
+        )
     return {k: np.asarray(v)[:c] for k, v in out.items()}

@@ -108,6 +108,96 @@ def test_find_best_matches_device_end_to_end():
         assert a.rank == b.rank
 
 
+@pytest.mark.parametrize("content_filter", [False, True])
+def test_device_detailed_metrics_match_host(content_filter):
+    """VERDICT round-2 item #5: the EnableDetailedMetrics quality chain
+    (comparison.go:892-1008) on device must agree with the host float64
+    path — including mixed-availability corpora, constant series (NaN
+    Pearson skipped), and zero dynamic range."""
+    rng = np.random.default_rng(21)
+    comp = FingerprintComparator(
+        ComparisonConfig(
+            enable_detailed_metrics=True, enable_content_filter=content_filter
+        )
+    )
+    query = _random_corpus(rng, 1, content=ContentType.MIXED,
+                           present=set(_GROUPS), prefix="q")[0]
+    cands = _random_corpus(rng, 64)
+    # exercise the degenerate branches: a constant centroid series
+    # (host corrcoef -> NaN -> skipped) on one candidate
+    sf = cands[0].features.spectral_features
+    if sf is not None and sf.spectral_centroid is not None:
+        sf.spectral_centroid = np.full_like(
+            np.asarray(sf.spectral_centroid, dtype=np.float64), 1234.5
+        )
+    got = comp.batch_compare_device(query, cands)
+    for cand, r in zip(cands, got):
+        want = comp.compare(query, cand)
+        assert r.overall_similarity == pytest.approx(
+            want.overall_similarity, abs=TOL), cand.id
+        if want.quality_metrics is None:
+            assert r.quality_metrics is None
+            continue
+        qm, wm = r.quality_metrics, want.quality_metrics
+        assert qm.data_availability == pytest.approx(wm.data_availability, abs=TOL)
+        assert qm.feature_coverage == pytest.approx(wm.feature_coverage, abs=TOL)
+        assert qm.temporal_alignment == pytest.approx(
+            wm.temporal_alignment, abs=1e-5)
+        assert qm.noise_level == pytest.approx(wm.noise_level, abs=1e-5)
+        assert qm.dynamic_range_match == pytest.approx(
+            wm.dynamic_range_match, abs=1e-5)
+        # float32 centered two-pass vs float64 corrcoef
+        assert qm.spectral_coherence == pytest.approx(
+            wm.spectral_coherence, abs=2e-4), cand.id
+        assert r.confidence == pytest.approx(want.confidence, abs=1e-5)
+
+
+def test_find_best_matches_detailed_stays_on_device(monkeypatch):
+    """Mixed-content default config (EnableDetailedMetrics ON,
+    config.go:151) must never fall back to the host per-pair loop."""
+    rng = np.random.default_rng(22)
+    comp = FingerprintComparator(
+        ComparisonConfig(enable_detailed_metrics=True, similarity_threshold=0.0)
+    )
+    query = _random_corpus(rng, 1, present=set(_GROUPS), prefix="q")[0]
+    cands = _random_corpus(rng, 24, present=set(_GROUPS))
+
+    def _boom(*a, **k):  # host loop must not run
+        raise AssertionError("detailed-metrics config routed to host loop")
+
+    monkeypatch.setattr(comp, "batch_compare", _boom)
+    dev = comp.find_best_matches(query, cands, max_results=10)
+    assert len(dev) == 10
+    host = FingerprintComparator(
+        ComparisonConfig(enable_detailed_metrics=True, similarity_threshold=0.0)
+    ).find_best_matches(query, cands, max_results=10, use_device_prefilter=False)
+    assert [m.fingerprint.id for m in dev] == [m.fingerprint.id for m in host]
+    for a, b in zip(dev, host):
+        assert a.similarity.confidence == pytest.approx(
+            b.similarity.confidence, abs=1e-5)
+        assert a.similarity.quality_metrics is not None
+
+
+def test_sharded_detailed_matches_unsharded():
+    import jax
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(23)
+    comp = FingerprintComparator(ComparisonConfig(enable_detailed_metrics=True))
+    query = _random_corpus(rng, 1, present=set(_GROUPS), prefix="q")[0]
+    cands = _random_corpus(rng, 30)
+    plain = comp.batch_compare_device(query, cands)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sharded = comp.batch_compare_device(query, cands, mesh=mesh)
+    for a, b in zip(plain, sharded):
+        assert a.overall_similarity == pytest.approx(b.overall_similarity, abs=1e-6)
+        assert a.confidence == pytest.approx(b.confidence, abs=1e-6)
+        if a.quality_metrics is not None:
+            assert b.quality_metrics is not None
+            assert a.quality_metrics.spectral_coherence == pytest.approx(
+                b.quality_metrics.spectral_coherence, abs=1e-6)
+
+
 def test_sharded_corpus_matches_unsharded():
     import jax
     from jax.sharding import Mesh
@@ -140,3 +230,33 @@ def test_skip_self_and_none():
     ids = {m.fingerprint.id for m in matches}
     assert query.id not in ids
     assert len(matches) == 5
+
+
+def test_constant_series_rounding_noise_excluded():
+    """A series the host sees as exactly constant (float64 var 0 -> NaN
+    corr -> skipped) must ALSO be skipped by the float32 device kernel,
+    even when mean-subtraction rounding gives it a tiny nonzero
+    variance. Found on-chip (round 3 verify): a pure tone's pinned
+    rolloff at 818.3 over ~430 frames slipped past `vx > 0` and halved
+    the coherence mean. 1234.5 (exactly representable, short series)
+    does NOT reproduce — this constant/length combination does."""
+    rng = np.random.default_rng(33)
+    comp = FingerprintComparator(ComparisonConfig(enable_detailed_metrics=True))
+    query = _random_corpus(rng, 1, content=ContentType.MUSIC,
+                           present={"spectral"}, prefix="q")[0]
+    cand = _random_corpus(rng, 1, content=ContentType.MUSIC,
+                          present={"spectral"})[0]
+    T = 430
+    qsf, csf = query.features.spectral_features, cand.features.spectral_features
+    qsf.spectral_centroid = rng.uniform(4000, 6000, size=T)
+    qsf.spectral_rolloff = 732.0 + rng.normal(0, 1.5, size=T)
+    qsf.spectral_flux = rng.uniform(0, 2, size=T)
+    csf.spectral_centroid = rng.uniform(4000, 6000, size=T)
+    csf.spectral_rolloff = np.full(T, 818.2999877929688)  # host var == 0
+    csf.spectral_flux = rng.uniform(0, 2, size=T)
+
+    want = comp.compare(query, cand).quality_metrics
+    got = comp.batch_compare_device(query, [cand])[0].quality_metrics
+    # host: rolloff skipped (NaN), mean over centroid only
+    assert got.spectral_coherence == pytest.approx(
+        want.spectral_coherence, abs=2e-4)

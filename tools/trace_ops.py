@@ -7,7 +7,8 @@ implementation. This script prints per-HLO-op device time — the tool
 that exposed e.g. approx_max_k's double-sort lowering (see PERF.md).
 
 Usage:
-  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python tools/trace_ops.py
+  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python tools/trace_ops.py \
+      [fingerprint|speech|music] [batch] [secs]
 """
 
 from __future__ import annotations
@@ -19,20 +20,30 @@ import shutil
 import sys
 
 
-def capture(trace_dir: str = "/tmp/jaxtrace", steps: int = 2) -> None:
+def capture(
+    trace_dir: str = "/tmp/jaxtrace",
+    steps: int = 2,
+    which: str = "fingerprint",
+    batch: int = 128,
+    secs: int = 30,
+) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from sonido_sonar_tpu.parallel.pipeline import batched_fingerprint_features
+    from sonido_sonar_tpu.parallel import pipeline as P
 
+    fns = {
+        "fingerprint": P.batched_fingerprint_features,
+        "speech": P.batched_speech_extractor_features,
+        "music": P.batched_music_extractor_features,
+    }
+    fn = fns[which]
     sr = 44100
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((128, sr * 30)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((batch, sr * secs)).astype(np.float32) * 0.1)
     jax.block_until_ready(x)
-    step = lambda v: batched_fingerprint_features(
-        v, sample_rate=sr, window_size=1024, hop_size=256
-    )
+    step = lambda v: fn(v, sample_rate=sr, window_size=1024, hop_size=256)
     float(jax.tree_util.tree_leaves(step(x))[0].sum())  # compile + warm
     shutil.rmtree(trace_dir, ignore_errors=True)
     import jax.profiler
@@ -69,5 +80,8 @@ if __name__ == "__main__":
         # the compiled-proto path raises descriptor errors in this image
         os.environ["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
         os.execv(sys.executable, [sys.executable] + sys.argv)
-    capture()
+    which = sys.argv[1] if len(sys.argv) > 1 else "fingerprint"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    secs = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    capture(which=which, batch=batch, secs=secs)
     report()

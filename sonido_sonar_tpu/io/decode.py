@@ -21,6 +21,8 @@ import struct
 import subprocess
 import wave
 from dataclasses import dataclass, replace
+from functools import lru_cache
+from math import gcd
 from typing import Optional, Sequence
 
 import numpy as np
@@ -292,7 +294,10 @@ class Decoder:
             if native.available():
                 x, sr, ch = native.decode_wav_bytes(data)
                 if sr != self.config.target_sample_rate:
-                    x = native.resample_linear(x, sr, self.config.target_sample_rate)
+                    # decode stays native; resampling goes through the
+                    # polyphase Kaiser-sinc path (the native linear
+                    # resampler aliases — see tests/test_resample.py)
+                    x = _resample_polyphase(x, sr, self.config.target_sample_rate)
                     sr = self.config.target_sample_rate
                 if self.config.max_duration > 0:
                     x = x[: int(self.config.max_duration * sr)]
@@ -332,7 +337,7 @@ class Decoder:
         if ch > 1:
             x = x.reshape(-1, ch).mean(axis=1)
         if sr != self.config.target_sample_rate:
-            x = _resample_linear(x, sr, self.config.target_sample_rate)
+            x = _resample_polyphase(x, sr, self.config.target_sample_rate)
             sr = self.config.target_sample_rate
         if self.config.max_duration > 0:
             x = x[: int(self.config.max_duration * sr)]
@@ -345,11 +350,97 @@ class Decoder:
 
 
 def _resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Linear-interp resampler for the WAV fallback path only (the ffmpeg
-    path uses soxr, matching the reference)."""
+    """Linear-interp resampler (kept as a reference point for tests; the
+    decode path uses _resample_polyphase, which matches the soxr-grade
+    contract of transcode/decoder.go:75-83)."""
     n_out = int(round(len(x) * sr_out / sr_in))
     t_out = np.arange(n_out, dtype=np.float64) * sr_in / sr_out
     return np.interp(t_out, np.arange(len(x), dtype=np.float64), x).astype(np.float32)
+
+
+@lru_cache(maxsize=32)
+def design_resample_filter(
+    L: int, M: int, taps_per_phase: int = 64, atten_db: float = 90.0
+) -> np.ndarray:
+    """Kaiser-windowed-sinc anti-aliasing lowpass for L/M rational
+    resampling, designed in float64 at the upsampled rate sr_in*L.
+
+    The stopband edge is pinned AT the tighter Nyquist (min of input and
+    output): the cutoff is pulled DOWN by half the Kaiser transition
+    width, so every frequency that could alias sits in the >=atten_db
+    stopband. A naive cutoff at Nyquist leaves the transition band
+    straddling it — for 48k->44.1k with a practical tap count that means
+    NO input frequency reaches full attenuation and tones near 23 kHz
+    alias in at -40 dB. Trades a slightly earlier passband edge
+    (~18 kHz for 48k->44.1k at the defaults) for a hard alias floor.
+    """
+    n_taps = taps_per_phase * max(L, M) + 1
+    n_taps |= 1  # odd length -> integer group delay
+    beta = 0.1102 * (atten_db - 8.7)  # Kaiser's attenuation formula
+    # transition width (fraction of the upsampled Nyquist) from the
+    # Kaiser tap-count estimate N = (A - 7.95) / (2.285 * d_omega)
+    trans = (atten_db - 7.95) / (2.285 * n_taps) / np.pi
+    nyq = 1.0 / max(L, M)  # tighter Nyquist, upsampled-normalized
+    cutoff = nyq - trans / 2.0
+    if cutoff <= trans / 2.0:
+        raise ValueError(
+            f"resample filter infeasible: L={L} M={M} needs more than "
+            f"{taps_per_phase} taps/phase for {atten_db} dB"
+        )
+    n = np.arange(n_taps, dtype=np.float64) - (n_taps - 1) / 2.0
+    h = cutoff * np.sinc(cutoff * n) * np.kaiser(n_taps, beta)
+    return (L * h).astype(np.float64)  # gain L compensates zero-stuffing
+
+
+def _resample_polyphase(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase Kaiser-windowed-sinc resampler (soxr-grade contract of
+    transcode/decoder.go:75-83 for the ffmpeg-less ingest path).
+
+    Equivalent to zero-stuff by L -> FIR lowpass -> take every M-th
+    sample, evaluated without materializing the upsampled signal: output
+    phase p advances through the input at stride M, so each phase is
+    taps-per-phase strided multiply-adds — O(n_out * taps/L) total.
+    Everything runs in float64; the final cast is float32.
+    """
+    if sr_in == sr_out:
+        return np.asarray(x, dtype=np.float32)
+    g = gcd(sr_in, sr_out)
+    L, M = sr_out // g, sr_in // g
+    h = design_resample_filter(L, M)
+    N = len(h)
+    D = (N - 1) // 2  # group delay in the upsampled domain
+    T = -(-N // L)  # taps per phase
+    hp = np.zeros((L, T), dtype=np.float64)
+    for p in range(L):
+        vals = h[p::L]
+        hp[p, : len(vals)] = vals
+
+    xin = np.asarray(x, dtype=np.float64)
+    n_out = int(round(len(xin) * sr_out / sr_in))
+    if n_out <= 0:
+        return np.zeros(0, dtype=np.float32)
+    pad = T + 1
+    # highest input index any phase touches: j for output n is
+    # (n*M + D) // L, maximal at n = n_out - 1
+    j_max = ((n_out - 1) * M + D) // L
+    right = max(0, j_max + 2 - len(xin))
+    xp = np.concatenate(
+        [np.zeros(pad), xin, np.zeros(right + pad)]
+    )
+    y = np.empty(n_out, dtype=np.float64)
+    s8 = xp.strides[0]
+    for n0 in range(min(L, n_out)):
+        m = n0 * M + D
+        p = m % L
+        j0 = m // L
+        cnt = (n_out - n0 + L - 1) // L
+        # V[s, u] = xp[pad + j0 - (T-1) + u + s*M]  (u = T-1-t), so the
+        # phase is ONE matvec against the tap-reversed filter
+        view = np.lib.stride_tricks.as_strided(
+            xp[pad + j0 - (T - 1):], shape=(cnt, T), strides=(M * s8, s8)
+        )
+        y[n0::L] = view @ hp[p, ::-1]
+    return y.astype(np.float32)
 
 
 def write_wav(path: str, pcm: np.ndarray, sample_rate: int) -> None:

@@ -33,7 +33,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(jnp.inf)
+# plain Python float, NOT jnp.float32(...): a module-level jnp constant
+# materializes a device array at import, which initializes the XLA
+# backend and breaks jax.distributed.initialize() in multi-host
+# deployments (it must run before any backend init)
+_INF = float("inf")
 
 
 @dataclass

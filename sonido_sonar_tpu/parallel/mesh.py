@@ -68,16 +68,26 @@ def initialize_distributed(
 ) -> None:
     """Multi-host initialization (SURVEY.md section 2.17: jax.distributed
     init for multi-host slices). No-op when already initialized or when
-    running single-process."""
+    running single-process without a coordinator; a real failure (e.g.
+    the XLA backend was initialized before this call — any jax
+    computation or jax.devices() does that) RAISES instead of silently
+    degrading to a single-process run. Exercised by
+    tests/test_multihost.py with two real processes over gloo CPU
+    collectives."""
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process run without coordinator
-        pass
+    except RuntimeError:
+        if jax.distributed.is_initialized():
+            return  # idempotent re-init
+        raise
+    except ValueError:
+        if coordinator_address is None and num_processes is None:
+            return  # single-process convenience call without coordinator
+        raise
 
 
 def shard_over_batch(fn, mesh: Mesh, axis: str = "data"):

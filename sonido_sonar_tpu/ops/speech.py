@@ -513,10 +513,20 @@ def hnr_acf(signal: jnp.ndarray, sample_rate: int, f0: jnp.ndarray) -> jnp.ndarr
     if x.ndim == 1:
         r_lag = one(padded, x, lag)
     else:
+        # static unroll over the batch, NOT vmap: vmap of dynamic_slice
+        # with a traced per-row start cannot vectorize, so XLA lowers it
+        # to a sequential while loop over rows (~12 ms of a 27 ms speech
+        # program at batch 32 x 30 s). An elementwise take_along_axis
+        # gather is far worse (~760 ms — TPU element gathers). Unrolled,
+        # the rows become independent slice+dot DAGs XLA overlaps
+        # freely (~1 ms). Batch sizes here are small and static.
         flat_x = x.reshape(-1, n)
         flat_p = padded.reshape(-1, 2 * n)
         flat_l = lag.reshape(-1)
-        r_lag = jax.vmap(one)(flat_p, flat_x, flat_l).reshape(x.shape[:-1])
+        r_lag = jnp.stack(
+            [one(flat_p[b], flat_x[b], flat_l[b])
+             for b in range(flat_x.shape[0])]
+        ).reshape(x.shape[:-1])
     r_t = jnp.clip(r_lag / r0, _EPS, 1.0 - 1e-6)
     return 10.0 * jnp.log10(r_t / (1.0 - r_t))
 

@@ -895,3 +895,231 @@ def classify_from_features(
         winners = []
         confidence = auto_detect_threshold / 6.0
     return scores, winners, confidence
+
+
+# ---------------------------------------------------------------------
+# Speech-extractor COMPOSITION (fingerprint/extractors/speech.go +
+# algorithms/temporal/energy.go) — VERDICT round-2 item #9: the step
+# math the extractor performs BETWEEN the per-module ops, so the
+# extractor assembly (frame indexing, thresholds, run-length rules)
+# has an independent float64 oracle and extractor goldens stop being
+# self-pinned.
+# ---------------------------------------------------------------------
+
+def short_time_energy_go(signal: Sequence[float], frame_size: int,
+                         hop_size: int) -> List[float]:
+    """Energy.ComputeShortTimeEnergy (energy.go:25-50): per-frame RMS,
+    frames starting every hop, last partial frame dropped."""
+    signal = list(signal)
+    if len(signal) < frame_size or hop_size <= 0 or frame_size <= 0:
+        return []
+    num_frames = (len(signal) - frame_size) // hop_size + 1
+    energies = []
+    for i in range(num_frames):
+        start = i * hop_size
+        end = start + frame_size
+        if end > len(signal):
+            break
+        ss = 0.0
+        for j in range(start, end):
+            ss += signal[j] * signal[j]
+        energies.append(math.sqrt(ss / float(frame_size)))
+    return energies
+
+
+def energy_variance_go(energies: Sequence[float]) -> float:
+    """Energy.ComputeEnergyVariance (energy.go:97-118): SAMPLE variance
+    (N-1 divisor), 0.0 below two frames."""
+    if len(energies) < 2:
+        return 0.0
+    mean = sum(energies) / len(energies)
+    var = sum((e - mean) ** 2 for e in energies) / (len(energies) - 1)
+    return var
+
+
+def energy_derivative_go(energies: Sequence[float]) -> List[float]:
+    """Energy.ComputeEnergyDerivative (energy.go:122-133)."""
+    if len(energies) < 2:
+        return []
+    return [energies[i + 1] - energies[i] for i in range(len(energies) - 1)]
+
+
+def adaptive_threshold_go(values: Sequence[float]) -> float:
+    """speech.go:695-716: mean + 2 * POPULATION std (hand-rolled /N)."""
+    if len(values) == 0:
+        return 0.0
+    mean = sum(values) / len(values)
+    var = sum((v - mean) ** 2 for v in values) / len(values)
+    return mean + 2.0 * math.sqrt(var)
+
+
+def detect_onsets_go(energies: Sequence[float]) -> List[int]:
+    """speech.go:672-693: interior local maxima of the energy derivative
+    above the adaptive threshold. Returned indices are DERIVATIVE
+    indices (the reference later indexes the ENERGY array with them —
+    an off-by-one quirk preserved on both sides)."""
+    if len(energies) < 3:
+        return []
+    derivative = energy_derivative_go(energies)
+    threshold = adaptive_threshold_go(derivative)
+    onsets = []
+    for i in range(1, len(derivative) - 1):
+        if (derivative[i] > derivative[i - 1]
+                and derivative[i] > derivative[i + 1]
+                and derivative[i] > threshold):
+            onsets.append(i)
+    return onsets
+
+
+def attack_times_go(onsets: Sequence[int], energies: Sequence[float],
+                    hop_size: int, sample_rate: int) -> List[float]:
+    """speech.go:718-749: look back <10 frames for energy < 10% of the
+    onset 'peak' (energies[onset] — the derivative-index quirk), attack
+    = (onset - start) * hop/sr, clamped to 0.1 s."""
+    if len(onsets) == 0:
+        return []
+    frame_time = float(hop_size) / float(sample_rate)
+    out = []
+    for onset in onsets:
+        peak = energies[onset]
+        attack_start = onset
+        j = onset - 1
+        while j >= 0 and j > onset - 10:
+            if energies[j] < 0.1 * peak:
+                attack_start = j
+                break
+            j -= 1
+        at = (onset - attack_start) * frame_time
+        if at > 0.1:
+            at = 0.1
+        out.append(at)
+    return out
+
+
+def silence_threshold_go(energies: Sequence[float]) -> float:
+    """speech.go:601-611 / 648-658: sorted[len/10] (NOT an interpolated
+    percentile — the truncating index is the contract)."""
+    s = sorted(energies)
+    return s[len(s) // 10]
+
+
+def silence_ratio_go(pcm: Sequence[float], frame_size: int,
+                     hop_size: int) -> float:
+    """speech.go:641-668: fraction of frames at/below the sorted[n/10]
+    threshold (<= comparison, so it is always >= 10%)."""
+    energies = short_time_energy_go(pcm, frame_size, hop_size)
+    if len(energies) == 0:
+        return 0.0
+    threshold = silence_threshold_go(energies)
+    silent = sum(1 for e in energies if e <= threshold)
+    return float(silent) / float(len(energies))
+
+
+def pause_durations_go(pcm: Sequence[float], frame_size: int,
+                       hop_size: int, sample_rate: int) -> List[float]:
+    """speech.go:587-639: run lengths of frames <= the sorted[n/10]
+    threshold, kept when STRICTLY longer than 0.1 s, including a
+    trailing run."""
+    energies = short_time_energy_go(pcm, frame_size, hop_size)
+    if len(energies) == 0:
+        return []
+    threshold = silence_threshold_go(energies)
+    frame_time = float(hop_size) / float(sample_rate)
+    pauses = []
+    in_pause = False
+    pause_start = 0
+    for i, energy in enumerate(energies):
+        if energy <= threshold:
+            if not in_pause:
+                in_pause = True
+                pause_start = i
+        else:
+            if in_pause:
+                dur = (i - pause_start) * frame_time
+                if dur > 0.1:
+                    pauses.append(dur)
+                in_pause = False
+    if in_pause:
+        dur = (len(energies) - pause_start) * frame_time
+        if dur > 0.1:
+            pauses.append(dur)
+    return pauses
+
+
+def simple_envelope_go(pcm: Sequence[float]) -> List[float]:
+    """speech.go:751-777: sliding RMS, FIXED window 512 / hop 256
+    regardless of extractor config."""
+    window_size, hop_size = 512, 256
+    pcm = list(pcm)
+    if len(pcm) < window_size:
+        return []
+    num_frames = (len(pcm) - window_size) // hop_size + 1
+    env = []
+    for i in range(num_frames):
+        start = i * hop_size
+        end = min(start + window_size, len(pcm))
+        ss = 0.0
+        for j in range(start, end):
+            ss += pcm[j] * pcm[j]
+        env.append(math.sqrt(ss / float(end - start)))
+    return env
+
+
+def energy_entropy_go(energies: Sequence[float]) -> List[float]:
+    """speech.go:429-433: elementwise -E*ln(E + 1e-10) where E > 0."""
+    return [(-e * math.log(e + 1e-10)) if e > 0 else 0.0 for e in energies]
+
+
+def band_energy_ratios_go(magnitude: Sequence[float]) -> Tuple[float, float]:
+    """speech.go:437-456 (one frame): power split at bin len/4."""
+    split = len(magnitude) // 4
+    low = high = total = 0.0
+    for j, mag in enumerate(magnitude):
+        e = mag * mag
+        total += e
+        if j < split:
+            low += e
+        else:
+            high += e
+    if total > 0:
+        return low / total, high / total
+    return 0.0, 0.0
+
+
+def spectral_tilt_go(pcm: Sequence[float]) -> List[float]:
+    """speech.go:556-584: per 1024/512 frame,
+    -10 log10(sum(diff^2) / sum(x[1:]^2)) when the denominator > 0."""
+    frame_size, hop_size = 1024, 512
+    pcm = list(pcm)
+    num_frames = (len(pcm) - frame_size) // hop_size + 1
+    tilt = []
+    for i in range(num_frames):
+        start = i * hop_size
+        end = min(start + frame_size, len(pcm))
+        frame = pcm[start:end]
+        high_e = low_e = 0.0
+        for j in range(1, len(frame)):
+            d = frame[j] - frame[j - 1]
+            high_e += d * d
+            low_e += frame[j] * frame[j]
+        tilt.append(-10.0 * math.log10(high_e / low_e) if low_e > 0 else 0.0)
+    return tilt
+
+
+def loudness_range_go(signal: Sequence[float], sample_rate: int) -> float:
+    """energy.go:157-215 with the documented fix (ops/temporal.py
+    loudness_range NOTE deviation): the reference pipes NEGATIVE dB
+    loudness values into calculatePercentileRange, whose `hi <= 0 ->
+    return 0` guard makes it return 0 for all real audio; the shipped
+    semantics (and this oracle) use the EBU LU difference p95 - p10
+    over floor-index percentiles instead."""
+    window = int(0.4 * sample_rate)
+    hop = max(window // 4, 1)
+    if len(signal) < window:
+        return 0.0
+    rms = short_time_energy_go(signal, window, hop)
+    loud = [(-0.691 + 10.0 * math.log10(r * r)) if r > 0 else -70.0
+            for r in rms]
+    s = sorted(loud)
+    t = len(s)
+    return s[int(0.95 * (t - 1))] - s[int(0.10 * (t - 1))]

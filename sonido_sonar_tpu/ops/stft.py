@@ -222,6 +222,29 @@ class STFTStreamer:
         self._buffer = np.zeros(0, dtype=np.float32)
 
     def _run(self, chunk: np.ndarray) -> STFTResult:
+        # streaming monitors only consume magnitude: ride the fused
+        # Pallas framing+DFT+magnitude kernel on TPU (3.9x the XLA
+        # matmul path; frames never hit HBM). bf16 hi/lo 3-pass numerics
+        # (~1e-5 rel of the HIGHEST-precision stft()) — block mode keeps
+        # the shape fixed so exactly one kernel compiles.
+        from sonido_sonar_tpu.ops.pallas_stft import (
+            pallas_stft_available,
+            stft_magnitude_pallas,
+        )
+
+        if pallas_stft_available(self.window_size, self.hop_size):
+            sig = jnp.asarray(chunk)[None, :]
+            mag = stft_magnitude_pallas(
+                sig, self.window_size, self.hop_size, self.window_type
+            )[0]
+            return STFTResult(
+                magnitude=mag,
+                phase=None,
+                complex_spec=None,
+                sample_rate=self.sample_rate,
+                window_size=self.window_size,
+                hop_size=self.hop_size,
+            )
         return stft(
             jnp.asarray(chunk),
             self.window_size,

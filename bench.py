@@ -23,6 +23,13 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # persistent executable cache: the bench compiles ~a dozen programs
+    # including several Pallas kernels (up to ~3 min each cold); cached,
+    # a rerun spends its time measuring instead of compiling
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from sonido_sonar_tpu.ops.stats.correlation import cross_correlate_fft
@@ -74,7 +81,7 @@ def main() -> None:
         f"[bench] per-step median: {per_step*1000:.2f} ms for "
         f"{batch}x{clip_seconds}s clips",
         file=sys.stderr,
-    )
+     flush=True)
 
     audio_seconds = iters * batch * clip_seconds
     audio_hours_per_hour = audio_seconds / elapsed  # ratio is unitless
@@ -99,7 +106,7 @@ def main() -> None:
         f"[bench] shard_map(Pallas)==direct on-chip: max|diff|={max_diff:.2e} "
         f"(pallas_active={pallas_stft_available(1024, 256)}, mesh={mesh.shape})",
         file=sys.stderr,
-    )
+     flush=True)
     assert max_diff < 1e-6, "shard_map(Pallas) diverged from direct execution"
 
     # on-chip kernel parity guard: the fused YIN kernel vs the XLA HIGH
@@ -134,7 +141,7 @@ def main() -> None:
         f"[bench] YIN kernel==XLA on-chip: voiced agreement {agree:.3f}, "
         f"max rel pitch diff {max_rel:.1e}",
         file=sys.stderr,
-    )
+     flush=True)
     assert agree > 0.99 and max_rel < 5e-3, "fused YIN kernel drifted"
 
     # secondary: batched pair alignment (BASELINE config 5): 8 pairs of
@@ -162,7 +169,7 @@ def main() -> None:
         f"[bench] batched pairs: 8x60s energy xcorr {t_pairs*1000:.1f} ms; "
         f"8x512-frame banded DTW {t_dtw*1000:.1f} ms",
         file=sys.stderr,
-    )
+     flush=True)
 
     # Pallas banded DTW under shard_map, on-chip (VERDICT r1 item #4)
     dtw_fn = lambda a, b: batched_pair_dtw(a, b, band=64)
@@ -174,7 +181,7 @@ def main() -> None:
     print(
         f"[bench] shard_map(Pallas DTW)==direct on-chip: max|diff|={dtw_diff:.2e}",
         file=sys.stderr,
-    )
+     flush=True)
     assert dtw_diff < 1e-6, "shard_map(Pallas DTW) diverged from direct"
 
     # secondary: batched HYBRID alignment with full scoring (VERDICT r1
@@ -205,7 +212,7 @@ def main() -> None:
         f"{t_hyb*1000:.1f} ms = {n_pairs/t_hyb:.0f} pairs/s "
         f"({accepted}/{n_pairs} corr-accepted)",
         file=sys.stderr,
-    )
+     flush=True)
     # scored banded DTW path (the non-gated branch) on chroma-like pairs
     dt_s = jnp.asarray(rng.standard_normal((8, 2048, 12)).astype(np.float32))
     res_s = dtw_align_batch(dt_s, jnp.roll(dt_s, 5, axis=-2), 64, 256, 2048, 2048)
@@ -218,7 +225,7 @@ def main() -> None:
         f"[bench] batched scored DTW: 8x2048-frame band-64 in "
         f"{t_dtws*1000:.1f} ms",
         file=sys.stderr,
-    )
+     flush=True)
 
     # secondary: production lag-budget DTW through the kernels (VERDICT
     # r2 item #3): the hybrid policy forces band >= max_lag, so the
@@ -252,7 +259,7 @@ def main() -> None:
             f"(band {budget_band}) fill+backtrack+score in "
             f"{t_big*1000:.1f} ms (in-kernel)",
             file=sys.stderr,
-        )
+         flush=True)
 
     # secondary: full speech-extractor throughput (VERDICT r1 item #8):
     # fingerprint features + LPC -> formants -> voice quality chain
@@ -279,7 +286,7 @@ def main() -> None:
         f"[bench] speech-extractor: {sp_ahh:.0f} audio-h/h/chip "
         f"({sp_step*1000:.1f} ms per {sp_batch}x{sp_secs}s)",
         file=sys.stderr,
-    )
+     flush=True)
 
     # secondary: full music-extractor throughput (VERDICT r2 item #4):
     # fingerprint features + chroma/key/chord + onsets/tempo + per-frame
@@ -304,7 +311,7 @@ def main() -> None:
         f"[bench] music-extractor: {mu_ahh:.0f} audio-h/h/chip "
         f"({mu_step*1000:.1f} ms per {sp_batch}x{sp_secs}s)",
         file=sys.stderr,
-    )
+     flush=True)
 
     # secondary: device-side batched comparator throughput (VERDICT r1
     # item #2): one query scored against a large packed corpus
@@ -332,7 +339,7 @@ def main() -> None:
         f"[bench] device comparator: {n_corpus} candidates in "
         f"{t_cmp*1000:.1f} ms = {n_corpus/t_cmp/1e6:.1f}M comparisons/s",
         file=sys.stderr,
-    )
+     flush=True)
 
     # secondary: 60 s-maxlag alignment wall-clock (2 x 120 s streams)
     x1 = jnp.asarray(rng.standard_normal(sr * 120).astype(np.float32))
@@ -348,7 +355,7 @@ def main() -> None:
         f"({frames_per_sec/1e6:.2f}M frames/s); 60s-maxlag xcorr on 120s "
         f"streams: {align_wall*1000:.1f} ms",
         file=sys.stderr,
-    )
+     flush=True)
 
     # baseline: 1000 audio-hours/hour on v5e-8 => 125 per chip
     per_chip_target = 1000.0 / 8.0
@@ -361,7 +368,7 @@ def main() -> None:
                 "vs_baseline": round(audio_hours_per_hour / per_chip_target, 2),
             }
         )
-    )
+    , flush=True)
 
 
 if __name__ == "__main__":

@@ -30,11 +30,12 @@ frame axis.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sonido_sonar_tpu.ops.filters import pre_emphasis
 from sonido_sonar_tpu.ops.pitch import PitchParams, yin_pitch
@@ -488,10 +489,22 @@ def hnr_acf(signal: jnp.ndarray, sample_rate: int, f0: jnp.ndarray) -> jnp.ndarr
     (harmonic_ratio.go ACF method; voice_quality.go:232-295 uses the
     same construction).
 
-    Only ONE autocorrelation lag per signal is consumed, so this is a
-    zero-padded dynamic-slice dot product — O(N) and exactly the linear
-    autocorrelation value, replacing a next-pow2(2N)-point FFT pass
-    (83 ms -> ~1 ms for 32 x 30 s clips on v5e)."""
+    Only ONE autocorrelation lag per row is consumed. Two shapes arrive
+    in practice and need different strategies:
+    - FEW LONG rows (voice quality: [B, 1.3M]): per-row dynamic-slice
+      dot, statically unrolled over the batch. vmap here lowers to a
+      sequential while loop (~12 ms of a 27 ms program at B=32); a
+      take_along_axis gather is 60x worse (elementwise TPU gather,
+      760 ms measured). Unrolled, the rows are independent slice+dot
+      DAGs XLA overlaps freely.
+    - MANY SHORT rows (per-frame music HNR: [B, T, 256] = 165k rows):
+      unrolling would emit one op PER ROW (a 20+ minute XLA compile,
+      measured) and the while loop serializes 165k iterations. Instead
+      compute ALL lags at once as zero-padded DFT matmuls on the MXU
+      (power spectrum -> cosine inverse = exact linear autocorrelation)
+      and select the wanted lag with a one-hot reduction — ~100 MFLOP
+      per 1k rows, no gathers, no per-row program growth.
+    """
     x = signal.astype(jnp.float32)
     x = x - jnp.mean(x, axis=-1, keepdims=True)
     n = x.shape[-1]
@@ -504,31 +517,65 @@ def hnr_acf(signal: jnp.ndarray, sample_rate: int, f0: jnp.ndarray) -> jnp.ndarr
     )
     lag = jnp.broadcast_to(lag, x.shape[:-1])
     r0 = jnp.maximum(jnp.sum(x * x, axis=-1), _EPS)
-    padded = jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
 
-    def one(row_pad, row, l):
-        shifted = jax.lax.dynamic_slice_in_dim(row_pad, l, n, axis=-1)
-        return jnp.dot(row, shifted, preferred_element_type=jnp.float32)
-
-    if x.ndim == 1:
-        r_lag = one(padded, x, lag)
+    # DFT path only for SHORT rows: its bases are [2n, 2(n+1)] — fine at
+    # frame scale, catastrophic for 1.3M-sample signals (those always
+    # take the unrolled slice-dot path; their row counts stay small)
+    if x.ndim >= 2 and n <= 4096:
+        fwd, inv = _acf_dft_bases(n)
+        xp2 = jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
+        fr = jnp.matmul(
+            xp2, jnp.asarray(fwd), precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32,
+        )
+        f_bins = n + 1
+        p = fr[..., :f_bins] ** 2 + fr[..., f_bins:] ** 2
+        r_all = jnp.matmul(
+            p, jnp.asarray(inv), precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32,
+        )                                                  # [..., n]
+        onehot = jax.nn.one_hot(lag, n, dtype=jnp.float32)
+        r_lag = jnp.sum(r_all * onehot, axis=-1)
     else:
-        # static unroll over the batch, NOT vmap: vmap of dynamic_slice
-        # with a traced per-row start cannot vectorize, so XLA lowers it
-        # to a sequential while loop over rows (~12 ms of a 27 ms speech
-        # program at batch 32 x 30 s). An elementwise take_along_axis
-        # gather is far worse (~760 ms — TPU element gathers). Unrolled,
-        # the rows become independent slice+dot DAGs XLA overlaps
-        # freely (~1 ms). Batch sizes here are small and static.
-        flat_x = x.reshape(-1, n)
-        flat_p = padded.reshape(-1, 2 * n)
-        flat_l = lag.reshape(-1)
-        r_lag = jnp.stack(
-            [one(flat_p[b], flat_x[b], flat_l[b])
-             for b in range(flat_x.shape[0])]
-        ).reshape(x.shape[:-1])
+        padded = jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
+
+        def one(row_pad, row, l):
+            shifted = jax.lax.dynamic_slice_in_dim(row_pad, l, n, axis=-1)
+            return jnp.dot(row, shifted, preferred_element_type=jnp.float32)
+
+        if x.ndim == 1:
+            r_lag = one(padded, x, lag)
+        else:
+            flat_x = x.reshape(-1, n)
+            flat_p = padded.reshape(-1, 2 * n)
+            flat_l = lag.reshape(-1)
+            r_lag = jnp.stack(
+                [one(flat_p[b], flat_x[b], flat_l[b])
+                 for b in range(flat_x.shape[0])]
+            ).reshape(x.shape[:-1])
     r_t = jnp.clip(r_lag / r0, _EPS, 1.0 - 1e-6)
     return 10.0 * jnp.log10(r_t / (1.0 - r_t))
+
+
+@lru_cache(maxsize=8)
+def _acf_dft_bases(n: int):
+    """float64-designed rDFT bases for exact linear autocorrelation of
+    an n-sample row via 2n-point zero-padded transform:
+    R[l] = (1/2n) * sum_k w_k |X_k|^2 cos(2 pi k l / 2n), w = rfft
+    symmetry weights. Returns (forward [2n, 2(n+1)] re|im, inverse
+    [n+1, n]) as float32."""
+    m = 2 * n
+    f_bins = n + 1
+    i = np.arange(m, dtype=np.float64)[:, None]
+    k = np.arange(f_bins, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * i * k / m
+    fwd = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)
+    ll = np.arange(n, dtype=np.float64)[None, :]
+    kk = np.arange(f_bins, dtype=np.float64)[:, None]
+    w = np.ones((f_bins, 1))
+    w[1:-1] = 2.0
+    inv = (w * np.cos(2.0 * np.pi * kk * ll / m)) / m
+    return fwd.astype(np.float32), inv.astype(np.float32)
 
 
 # ---------------------------------------------------------------------

@@ -98,7 +98,10 @@ def loudness_range(signal: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
     hop = max(window // 4, 1)
     if signal.shape[-1] < window:
         return jnp.zeros(signal.shape[:-1], signal.dtype)
-    rms = short_time_energy(signal, window, hop)
+    # cumsum STE: 400 ms windows don't hop-divide, so the framed path
+    # gathers a [T, 17640] tensor (~280 ms at 32 x 30 s); prefix sums
+    # are O(N) (~1e-6 rel difference in accumulation order)
+    rms = short_time_energy_cumsum(signal, window, hop)
     loud = jnp.where(
         rms > 0, -0.691 + 10.0 * jnp.log10(jnp.maximum(rms * rms, _EPS)), -70.0
     )

@@ -165,6 +165,26 @@ def test_dc_removal():
     assert y[SR // 2 :].std() == pytest.approx(x[SR // 2 :].std(), rel=0.05)
 
 
+def test_dc_removal_matches_sequential_recurrence():
+    """The block-scan evaluation (chunk matmul + carry scan) must equal
+    the per-sample recurrence y[n] = x[n] - x[n-1] + R*y[n-1] — exact up
+    to float reassociation. Covers odd lengths (partial last chunk),
+    batches, and the 1-D path."""
+    rng = np.random.default_rng(11)
+    for shape in ((2, 5000), (3000,), (2, 3, 1537)):
+        x = (rng.standard_normal(shape) * 0.5 + 0.3).astype(np.float32)
+        got = np.asarray(dc_removal(jnp.asarray(x)))
+        flat = x.reshape(-1, x.shape[-1]).astype(np.float64)
+        ref = np.zeros_like(flat)
+        for b in range(flat.shape[0]):
+            yp = xp = 0.0
+            for i in range(flat.shape[1]):
+                ref[b, i] = flat[b, i] - xp + 0.995 * yp
+                xp, yp = flat[b, i], ref[b, i]
+        np.testing.assert_allclose(
+            got.reshape(ref.shape), ref, atol=5e-5, rtol=1e-4)
+
+
 def test_bandpass_selects_band():
     lo = sine(100, 1.0, SR, 0.5)
     hi = sine(3000, 1.0, SR, 0.5)

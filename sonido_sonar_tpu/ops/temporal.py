@@ -313,7 +313,14 @@ def silence_mask_db(
     threshold_db: float = -40.0,
 ) -> jnp.ndarray:
     """Frames below an absolute dB threshold (silence_detection.go:20-80,
-    used by the music extractor at -40 dB)."""
+    used by the music extractor at -40 dB).
+
+    NOTE deviation: silence_detection.go never converts to dB — every
+    path (DetectSilence :20-80, ComputeSilenceRatio :171-193) compares
+    LINEAR frame RMS (>= 0) against the threshold, so the music
+    extractor's -40.0 "dB" threshold (music.go:446-448) classifies NO
+    frame as silent, ever — the ratio is identically 0. We compare in
+    dBFS, which is what a -40 threshold plainly means."""
     e = log_energy(signal, frame_size, hop_size)
     return e < threshold_db
 
@@ -653,7 +660,15 @@ def dynamic_range_db(
     low_pct: float = 0.10,
     high_pct: float = 0.95,
 ) -> jnp.ndarray:
-    """Percentile range of frame RMS in dB (dynamic_range.go:21-80)."""
+    """Percentile range of frame RMS in dB (dynamic_range.go:21-80).
+
+    NOTE deviation: the reference's music extractor calls
+    ComputeRange(pcm, 10.0, 90.0) (music.go:401-403, args named
+    noiseFloor/clipCeiling) but ComputeRange treats them as [0, 1]
+    percentile FRACTIONS — sorted[int(10.0*(n-1))] indexes out of
+    bounds, a guaranteed runtime panic on that path. We use valid
+    percentile fractions (default 0.10/0.95, the LRA convention the
+    rest of dynamic_range.go uses)."""
     rms = short_time_energy(signal, frame_size, hop_size)
     return percentile_range_db(rms, low_pct, high_pct)
 

@@ -1123,3 +1123,59 @@ def loudness_range_go(signal: Sequence[float], sample_rate: int) -> float:
     s = sorted(loud)
     t = len(s)
     return s[int(0.95 * (t - 1))] - s[int(0.10 * (t - 1))]
+
+
+# ---------------------------------------------------------------------
+# Music-extractor composition (fingerprint/extractors/music.go +
+# algorithms/temporal/{onset_detection,dynamic_range}.go)
+# ---------------------------------------------------------------------
+
+def find_flux_peaks_go(flux: Sequence[float], threshold: float,
+                       min_interval: float, hop_size: int,
+                       sample_rate: int) -> List[int]:
+    """onset_detection.go:97-120: interior local maxima of spectral
+    flux >= threshold with a GREEDY left-to-right minimum-interval
+    suppression (lastPeakFrame state)."""
+    if len(flux) < 3:
+        return []
+    min_frames = int(min_interval * sample_rate / hop_size)
+    peaks = []
+    last = -min_frames
+    for i in range(1, len(flux) - 1):
+        if (flux[i] > flux[i - 1] and flux[i] > flux[i + 1]
+                and flux[i] >= threshold and i - last >= min_frames):
+            peaks.append(i)
+            last = i
+    return peaks
+
+
+def percentile_range_db_go(values: Sequence[float], low_pct: float,
+                           high_pct: float) -> float:
+    """dynamic_range.go:57-85: floor-index percentiles of sorted values,
+    20 log10(high/low), low floored at 1e-10, high <= 0 -> 0."""
+    if len(values) == 0:
+        return 0.0
+    s = sorted(values)
+    low = s[int(low_pct * (len(s) - 1))]
+    high = s[int(high_pct * (len(s) - 1))]
+    if low <= 0.0:
+        low = 1e-10
+    if high <= 0.0:
+        return 0.0
+    return 20.0 * math.log10(high / low)
+
+
+def music_silence_ratio_fixed(pcm: Sequence[float], frame_size: int,
+                              hop_size: int, threshold_db: float) -> float:
+    """The music extractor's silence ratio with the documented dBFS fix
+    (silence_detection.go compares LINEAR RMS against -40.0 upstream —
+    identically 0; see ops/temporal.silence_mask_db NOTE)."""
+    energies = short_time_energy_go(pcm, frame_size, hop_size)
+    if len(energies) == 0:
+        return 0.0
+    silent = 0
+    for e in energies:
+        db = 20.0 * math.log10(max(e, 1e-10))
+        if db < threshold_db:
+            silent += 1
+    return silent / len(energies)

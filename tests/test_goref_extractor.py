@@ -154,3 +154,33 @@ def test_extractor_end_to_end_composition():
     env = goref.simple_envelope_go(x)
     np.testing.assert_allclose(
         np.asarray(tf.envelope_shape)[: len(env)], env, rtol=3e-5, atol=1e-6)
+
+
+def test_music_onset_flux_peaks():
+    """Greedy min-interval flux peak picking (onset_detection.go:97-120)
+    at the music extractor's 0.3/50 ms settings (absolute threshold)."""
+    rng = np.random.default_rng(12)
+    sr, hop = 44100, 256
+    flux = np.abs(rng.standard_normal(400)) * 0.25
+    flux[[20, 23, 100, 105, 300]] = [0.9, 0.8, 1.2, 1.1, 0.7]
+    want = goref.find_flux_peaks_go(flux, 0.3, 0.05, hop, sr)
+    assert len(want) >= 2  # the 23/105 peaks must be suppressed
+    mask, count = T.detect_onsets_from_flux(
+        jnp.asarray(flux, jnp.float32), hop, sr,
+        threshold=0.3, min_interval_sec=0.05, relative=False)
+    got = np.flatnonzero(np.asarray(mask))
+    assert int(count) == len(want)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_music_dynamic_range_and_silence():
+    x, sr = _clip(seed=13, seconds=2.0, sr=22050)
+    ste = goref.short_time_energy_go(x, 2048, 512)
+    want_dr = goref.percentile_range_db_go(ste, 0.10, 0.95)
+    got_dr = float(T.dynamic_range_db(jnp.asarray(x, jnp.float32), 2048, 512))
+    assert got_dr == pytest.approx(want_dr, abs=5e-3)
+
+    want_sr = goref.music_silence_ratio_fixed(x, 1024, 256, -40.0)
+    silent = T.silence_mask_db(jnp.asarray(x, jnp.float32), 1024, 256, -40.0)
+    got_sr = float(np.mean(np.asarray(silent)))
+    assert got_sr == pytest.approx(want_sr, abs=1e-6)

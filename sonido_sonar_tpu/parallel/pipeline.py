@@ -186,6 +186,47 @@ def batched_speech_extractor_features(
         hop_size=hop_size, enable_chroma=False, enable_contrast=True,
     )
     out.update(batched_speech_analysis(pcm, sample_rate))
+
+    # remaining SpeechFeatures payload (speech.go:278-317 helpers) so
+    # the batched surface covers everything the per-signal extractor
+    # emits: spectral tilt, pauses, speech rate — all via prefix sums
+    # (no [B, T, W] frames tensor)
+    from sonido_sonar_tpu.ops import temporal as T
+    from sonido_sonar_tpu.ops.framing import num_frames
+
+    x = pcm.astype(jnp.float32)
+    n = x.shape[-1]
+    t_tilt = num_frames(n, 1024, 512)
+    d = x[..., 1:] - x[..., :-1]
+    cs_d2 = jnp.concatenate(
+        [jnp.zeros_like(d[..., :1]), jnp.cumsum(d * d, axis=-1)], axis=-1
+    )
+    x1sq = x[..., 1:] ** 2
+    cs_x2 = jnp.concatenate(
+        [jnp.zeros_like(x[..., :1]), jnp.cumsum(x1sq, axis=-1)], axis=-1
+    )
+    starts = jnp.arange(t_tilt) * 512
+    # frame j covers samples [s, s+1024); diffs/x[1:] indices [s, s+1023)
+    high_e = cs_d2[..., starts + 1023] - cs_d2[..., starts]
+    low_e = cs_x2[..., starts + 1023] - cs_x2[..., starts]
+    tilt = jnp.where(
+        low_e > 0,
+        -10.0 * jnp.log10(jnp.maximum(high_e / jnp.maximum(low_e, _EPS), _EPS)),
+        0.0,
+    )
+    # extractor gates tilt on is_speech (extractors/speech.py)
+    out["spectral_tilt"] = jnp.where(
+        jnp.asarray(out["is_speech"])[..., None], tilt, jnp.zeros_like(tilt)
+    )
+
+    ste = T.short_time_energy_cumsum(x, window_size, hop_size)
+    pauses, pause_count = T.pause_durations(ste, hop_size, sample_rate)
+    out["pause_duration"] = pauses
+    out["pause_count"] = pause_count
+    silence_ratio = T.silence_ratio_percentile(ste)
+    out["speech_rate"] = jnp.where(
+        out["is_speech"], 4.0 * (1.0 - silence_ratio), 0.0
+    )
     return out
 
 

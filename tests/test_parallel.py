@@ -269,3 +269,48 @@ def test_batched_music_extractor_matches_per_signal():
     sums = np.asarray(jnp.sum(out["chroma_cqt"], axis=-1))
     assert np.all((sums < 1.0 + 1e-4))
     assert out["hpcp"].shape[-1] == 12
+
+
+def test_batched_speech_extractor_matches_per_signal():
+    """The batched speech-extractor surface covers the per-signal
+    SpeechFeatureExtractor payload: tilt/pauses/speech-rate (added in
+    round 3 via prefix sums — no frames tensor) equal the extractor's
+    values field by field."""
+    from sonido_sonar_tpu.extractors.speech import SpeechFeatureExtractor
+    from sonido_sonar_tpu.io.synth import speech_like
+    from sonido_sonar_tpu.parallel.pipeline import (
+        batched_speech_extractor_features,
+    )
+
+    sr, w, h = SR, 512, 128
+    pcm = np.stack(
+        [speech_like(3.0, sr, seed=s).astype(np.float32) for s in (1, 2)]
+    )
+    out = batched_speech_extractor_features(
+        jnp.asarray(pcm), sample_rate=sr, window_size=w, hop_size=h,
+    )
+    cfg = FeatureConfig(sample_rate=sr, window_size=w, hop_size=h)
+    ext = SpeechFeatureExtractor(cfg)
+    for b in range(2):
+        spf = ext._extract_speech(jnp.asarray(pcm[b]), sr)
+        # guard against a vacuous all-zero comparison (is_speech gate)
+        assert np.any(np.asarray(spf.spectral_tilt) != 0.0), "tilt gated off"
+        np.testing.assert_allclose(
+            np.asarray(out["spectral_tilt"][b]),
+            np.asarray(spf.spectral_tilt),
+            rtol=2e-4, atol=2e-3, err_msg=f"tilt (batch {b})",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pause_duration"][b]),
+            np.asarray(spf.pause_duration),
+            atol=1e-5, err_msg=f"pauses (batch {b})",
+        )
+        assert int(out["pause_count"][b]) == int(spf.pause_count)
+        np.testing.assert_allclose(
+            float(out["speech_rate"][b]), float(spf.speech_rate),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(out["jitter"][b]), float(spf.jitter),
+            rtol=1e-4, atol=1e-4,
+        )

@@ -351,47 +351,33 @@ def pause_durations(
     silent = energies <= thr
     frame_time = hop_size / float(sample_rate)
 
-    def per_row(sil_row):
-        # run-length encode silence runs with a scan
-        def step(carry, x):
-            run, durs, count = carry
-            i, is_sil = x
-            run_next = jnp.where(is_sil, run + 1, 0)
-            # a run ends when we transition silence -> sound
-            ended = (~is_sil) & (run > 0)
-            dur = run * frame_time
-            keep = ended & (dur > min_pause_sec) & (count < max_pauses)
-            durs = jnp.where(
-                keep,
-                durs.at[jnp.minimum(count, max_pauses - 1)].set(dur),
-                durs,
-            )
-            count = jnp.where(keep, count + 1, count)
-            return (run_next, durs, count), None
-
-        init = (
-            jnp.zeros((), jnp.int32),
-            jnp.zeros(max_pauses, jnp.float32),
-            jnp.zeros((), jnp.int32),
-        )
-        (run, durs, count), _ = jax.lax.scan(
-            step, init, (jnp.arange(t), sil_row)
-        )
-        # trailing pause
-        dur = run * frame_time
-        keep = (run > 0) & (dur > min_pause_sec) & (count < max_pauses)
-        durs = jnp.where(
-            keep, durs.at[jnp.minimum(count, max_pauses - 1)].set(dur), durs
-        )
-        count = jnp.where(keep, count + 1, count)
-        return durs, count
-
-    flat = silent.reshape(-1, t)
-    durs, counts = jax.vmap(per_row)(flat)
-    return (
-        durs.reshape(silent.shape[:-1] + (max_pauses,)),
-        counts.reshape(silent.shape[:-1]),
+    # fully parallel run-length extraction (this sits inside the batched
+    # speech-extractor program — a per-frame lax.scan here would put a
+    # ~T-step sequential chain in the hot path):
+    #   run length ending at t = t - (last non-silent index <= t), via a
+    #   log-depth cumulative max; a run ENDS at t when silent[t] and
+    #   (t == T-1 or not silent[t+1]); kept runs (> min_pause_sec)
+    #   compact into the fixed [max_pauses] buffer with a rank one-hot.
+    idx = jnp.arange(t, dtype=jnp.int32)
+    masked_idx = jnp.where(silent, jnp.int32(-1), idx)
+    last_sound = jax.lax.cummax(
+        masked_idx, axis=masked_idx.ndim - 1
+    )                                                   # [..., T]
+    run_len = jnp.where(silent, idx - last_sound, 0)    # frames, >= 1
+    is_end = silent & jnp.concatenate(
+        [~silent[..., 1:], jnp.ones_like(silent[..., :1])], axis=-1
     )
+    dur = run_len.astype(jnp.float32) * frame_time
+    keep = is_end & (dur > min_pause_sec)
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1  # [..., T]
+    onehot = (
+        keep[..., None] & (rank[..., None] == jnp.arange(max_pauses))
+    )                                                   # [..., T, K]
+    durs = jnp.sum(jnp.where(onehot, dur[..., None], 0.0), axis=-2)
+    counts = jnp.minimum(
+        jnp.sum(keep, axis=-1), max_pauses
+    ).astype(jnp.int32)
+    return durs, counts
 
 
 # ---------------------------------------------------------------------

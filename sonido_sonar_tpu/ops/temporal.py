@@ -234,7 +234,11 @@ def detect_onsets_from_flux(
     idx = jnp.arange(t)
 
     def per_row(row):
-        _, kept = jax.lax.scan(scan_fn, -min_frames - 1, (idx, row))
+        # unroll amortizes the per-step sequential overhead (~15 us/row,
+        # PERF.md rule 2) over the ~5k frame steps in the hot music path
+        _, kept = jax.lax.scan(
+            scan_fn, -min_frames - 1, (idx, row), unroll=32
+        )
         return kept
 
     flat = cand.reshape(-1, t)
@@ -457,7 +461,7 @@ def combine_onset_positions(
             ok = (p < big) & (p - last_kept > tolerance_samples)
             return jnp.where(ok, p, last_kept), ok
 
-        _, kept = jax.lax.scan(step, -big, row)
+        _, kept = jax.lax.scan(step, -big, row, unroll=16)
         return kept
 
     flat = allpos.reshape(-1, allpos.shape[-1])

@@ -273,7 +273,18 @@ def batched_music_extractor_features(
 
     x = pcm.astype(jnp.float32)
     pre = pre_emphasis_for_content(dc_removal(x), "music")
-    mag = stft(x, window_size, hop_size, sample_rate=sample_rate).magnitude
+    from sonido_sonar_tpu.ops.pallas_stft import (
+        pallas_stft_available,
+        stft_magnitude_pallas,
+    )
+
+    if pallas_stft_available(window_size, hop_size):
+        # fused framing+DFT+magnitude kernel, as in the fingerprint
+        # pipeline (bf16 hi/lo 3-pass, ~1e-5 of the HIGHEST XLA path —
+        # within the extractor parity tolerance)
+        mag = stft_magnitude_pallas(x, window_size, hop_size)
+    else:
+        mag = stft(x, window_size, hop_size, sample_rate=sample_rate).magnitude
     t = mag.shape[-2]
     out: Dict[str, jnp.ndarray] = {}
 

@@ -245,6 +245,30 @@ def zcr(frames: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
     return zero_crossings(frames) / duration
 
 
+def zcr_from_signal(
+    signal: jnp.ndarray, window_size: int, hop_size: int, sample_rate: int
+) -> jnp.ndarray:
+    """zcr over sliding frames WITHOUT materializing the [..., T, W]
+    frames tensor: sign-change indicators are prefix-summed once and
+    each frame's count is a two-point difference (frame j covers
+    samples [j*hop, j*hop + W), counting changes at boundaries
+    i -> i+1 for i in [j*hop, j*hop + W - 1)). Identical to
+    zcr(frame_signal(x, W, hop)[..., :T, :], sr)."""
+    from sonido_sonar_tpu.ops.framing import num_frames
+
+    x = signal
+    t = num_frames(x.shape[-1], window_size, hop_size)
+    nonneg = x >= 0
+    changes = (nonneg[..., 1:] != nonneg[..., :-1]).astype(jnp.float32)
+    cs = jnp.concatenate(
+        [jnp.zeros_like(changes[..., :1]), jnp.cumsum(changes, axis=-1)],
+        axis=-1,
+    )
+    starts = jnp.arange(t) * hop_size
+    counts = cs[..., starts + window_size - 1] - cs[..., starts]
+    return counts / (window_size / float(sample_rate))
+
+
 def zcr_normalized(frames: jnp.ndarray) -> jnp.ndarray:
     """Crossings / (W-1), range [0,1] (zero_crossing_rate.go:57-76)."""
     w = frames.shape[-1]

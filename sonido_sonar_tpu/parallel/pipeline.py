@@ -292,8 +292,13 @@ def batched_music_extractor_features(
     # contrast; ZCR on the preprocessed signal's frames --------------
     out.update(S.spectral_descriptor_bundle(mag, sample_rate))
     out["spectral_contrast"] = S.spectral_contrast(mag, sample_rate, 6)
-    pre_frames = frame_signal(pre, window_size, hop_size)
-    out["zcr"] = S.zcr(pre_frames[..., :t, :], sample_rate)
+    # prefix-sum ZCR: the preprocessed signal differs from mag's input,
+    # so the Pallas aux epilogue can't serve it — but materializing a
+    # [B, T, W] frames tensor (~680 MB at B=32 x 30 s) just to count
+    # sign changes is pure HBM waste
+    out["zcr"] = S.zcr_from_signal(
+        pre, window_size, hop_size, sample_rate
+    )[..., :t]
 
     # ---- MFCC {13, 26 filters, lifter 22} (music.go:114-123) -------
     out["mfcc"] = mfcc(

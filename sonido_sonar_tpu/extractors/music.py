@@ -171,7 +171,9 @@ class MusicFeatureExtractor:
             rms_energy=rms,
             peak_amplitude=jnp.max(jnp.abs(pcm), axis=-1),
             average_amplitude=jnp.mean(jnp.abs(pcm), axis=-1),
-            dynamic_range=T.dynamic_range_db(pcm, cfg.window_size, cfg.hop_size),
+            # ComputeRange frames at FIXED 1024/512 internally regardless of
+            # extractor config (dynamic_range.go:27-28)
+            dynamic_range=T.dynamic_range_db(pcm, 1024, 512),
             crest_factor=T.crest_factor_frames(pcm, cfg.window_size, cfg.hop_size),
             silence_ratio=jnp.mean(silence.astype(jnp.float32), axis=-1),
             onset_density=onset_count.astype(jnp.float32) / duration,

@@ -331,7 +331,8 @@ def batched_music_extractor_features(
     out["attack_time"] = jnp.where(onset_mask, 0.01, 0.0)
     out["peak_amplitude"] = jnp.max(jnp.abs(pre), axis=-1)
     out["average_amplitude"] = jnp.mean(jnp.abs(pre), axis=-1)
-    out["dynamic_range"] = T.dynamic_range_db(pre, window_size, hop_size)
+    # fixed 1024/512 framing per dynamic_range.go:27-28
+    out["dynamic_range"] = T.dynamic_range_db(pre, 1024, 512)
     out["crest_factor"] = T.crest_factor_frames(pre, window_size, hop_size)
     silence = T.silence_mask_db(pre, window_size, hop_size, -40.0)
     out["silence_ratio"] = jnp.mean(silence.astype(jnp.float32), axis=-1)

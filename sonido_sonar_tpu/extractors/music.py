@@ -181,7 +181,12 @@ class MusicFeatureExtractor:
             # the reference hardcodes 0.01 s per onset (music.go:418-424,
             # its own TODO) — exact parity
             attack_time=jnp.where(onset_mask, 0.01, 0.0),
-            envelope_shape=T.rms_envelope(pcm, 512, 256),
+            # music envelope framing: frameSize = len/numFrames (~hop),
+            # hop = config hop (music.go:383-386) — NOT speech's fixed
+            # 512/256 (speech.go:751-777)
+            envelope_shape=T.rms_envelope(
+                pcm, max(pcm.shape[-1] // rms.shape[-1], 1), cfg.hop_size
+            ),
             # the music comparator weight table names tempo_estimation
             # (music.go:159); the interval-histogram primary path
             # (tempo_estimation.go:22-48) feeds it here

@@ -336,7 +336,10 @@ def batched_music_extractor_features(
     out["crest_factor"] = T.crest_factor_frames(pre, window_size, hop_size)
     silence = T.silence_mask_db(pre, window_size, hop_size, -40.0)
     out["silence_ratio"] = jnp.mean(silence.astype(jnp.float32), axis=-1)
-    out["envelope_shape"] = T.rms_envelope(pre, 512, 256)
+    # music envelope framing per music.go:383-386: frameSize =
+    # len/numFrames (~hop), hop = config hop
+    env_frame = max(pre.shape[-1] // out["rms_energy"].shape[-1], 1)
+    out["envelope_shape"] = T.rms_envelope(pre, env_frame, hop_size)
     out["tempo_bpm"] = T.estimate_tempo(pre, sample_rate)
 
     # ---- energy (music.go:478-525) ---------------------------------

@@ -30,6 +30,7 @@ from sonido_sonar_tpu.ops.stats.alignment import (
     _AMBIGUITY_ONSET,
     _VERIFY_FLOOR,
     _VERIFY_MARGIN,
+    _VERIFY_OVERLAP,
     _VERIFY_TOP_K,
     AlignmentAnalyzer,
     AlignmentResult,
@@ -322,6 +323,45 @@ class AlignmentExtractor:
         residual = -(idx - max_lag)  # positive = reference (still) delayed
         return (coarse + residual) / float(sample_rate), float(window[idx])
 
+    def _phat_global(
+        self,
+        query_pcm: jnp.ndarray,
+        reference_pcm: jnp.ndarray,
+        sample_rate: int,
+    ) -> Tuple[float, float]:
+        """Whitened full-range scan: one GCC-PHAT pass over the whole
+        PCM and the whole [-max_lag, +max_lag] window, returning
+        (offset_seconds, peak_value). Used as an extra verification
+        candidate: on stationary/periodic content the true offset can be
+        invisible in the energy-series correlation (tone-alias combs
+        reach |NCC| 1.0 while the true lag scores ~0.1), so no top-K
+        cut of that series contains it — but the whitened PCM
+        correlation finds it directly (measured 0.99 vs 0.018 on
+        stationary noise+tone)."""
+        n1 = int(query_pcm.shape[-1])
+        n2 = int(reference_pcm.shape[-1])
+        length = min(n1, n2)
+        max_lag = min(self.max_lag_samples, length - 1)
+        if length < self.config.window_size * 4 or max_lag < 1:
+            return 0.0, 0.0
+        q = jnp.asarray(query_pcm)[..., :length]
+        r = jnp.asarray(reference_pcm)[..., :length]
+        n_fft = 1
+        while n_fft < length + max_lag:
+            n_fft <<= 1
+        f1 = jnp.fft.rfft(q, n=n_fft)
+        f2 = jnp.fft.rfft(r, n=n_fft)
+        cross = f1 * jnp.conj(f2)
+        mag = jnp.abs(cross)
+        delta = 1e-3 * jnp.mean(mag)
+        phat = cross / jnp.maximum(mag + delta, 1e-12)
+        cc = jnp.fft.irfft(phat, n=n_fft)
+        window = jnp.concatenate([cc[n_fft - max_lag :], cc[: max_lag + 1]])
+        idx = int(jnp.argmax(window))
+        # positive offset = reference delayed (same convention as
+        # _phat_refine's residual)
+        return -(idx - max_lag) / float(sample_rate), float(window[idx])
+
     def verify_candidate_offsets(
         self,
         query_pcm: jnp.ndarray,
@@ -477,8 +517,22 @@ class AlignmentExtractor:
         )
         analyzer = self._analyzer("hybrid", max_lag_frames)
         res = analyzer.align_features(q[:, None], r[:, None], sample_rate)
+        t1, t2 = int(q.shape[-1]), int(r.shape[-1])
+
+        def _overlap_frames(lag: float) -> float:
+            # frames the NCC at this lag actually used (alignment.py
+            # _ncc_arrays overlap-region formula); lag > 0 means the
+            # query leads
+            return max(0.0, min(t1, t2 - lag) - max(0.0, -lag))
+
+        chosen_lag = -res.offset_seconds * sample_rate / self.config.hop_size
+        low_overlap = _overlap_frames(chosen_lag) < _VERIFY_OVERLAP * min_frames
         if verify_top_peaks is None:
-            k = _VERIFY_TOP_K if res.ambiguity > _AMBIGUITY_ONSET else 1
+            k = (
+                _VERIFY_TOP_K
+                if (res.ambiguity > _AMBIGUITY_ONSET or low_overlap)
+                else 1
+            )
         else:
             k = verify_top_peaks
         if k > 1 and res.cross_corr_result is not None:
@@ -493,11 +547,29 @@ class AlignmentExtractor:
                     break
                 if all(abs(int(lags[i]) - p) >= min_sep for p in picked):
                     picked.append(int(lags[i]))
+            # the strongest HIGH-overlap peak always competes: when the
+            # tails are spuriously strong (tiny-overlap NCC) the true
+            # full-overlap peak may not make the |corr| top-K at all
+            ho_mask = np.array(
+                [_overlap_frames(float(l)) >= _VERIFY_OVERLAP * min_frames
+                 for l in lags]
+            )
+            if ho_mask.any():
+                ho_lag = int(lags[np.argmax(np.where(ho_mask, np.abs(corr), -np.inf))])
+                if all(abs(ho_lag - p) >= min_sep for p in picked):
+                    picked.append(ho_lag)
             candidates = [
                 -p * self.config.hop_size / float(sample_rate) for p in picked
             ]
             if res.offset_seconds not in candidates:
                 candidates.append(res.offset_seconds)
+            # whitened full-range scan: the true offset may be invisible
+            # in the energy series entirely (see _phat_global docstring)
+            glob_off, glob_val = self._phat_global(
+                jnp.asarray(query_pcm), jnp.asarray(reference_pcm), sample_rate
+            )
+            if glob_val >= _VERIFY_FLOOR:
+                candidates.append(glob_off)
             best_off, best_val, margin = self.verify_candidate_offsets(
                 jnp.asarray(query_pcm), jnp.asarray(reference_pcm),
                 sample_rate, candidates,

@@ -71,6 +71,15 @@ _VERIFY_TOP_K = 5
 _VERIFY_FLOOR = 0.02
 _VERIFY_MARGIN = 1.5
 
+# Second verification trigger: NCC over a tiny overlap is spuriously
+# high (a few frames of noise correlate near 1.0; neither the reference
+# nor this port penalizes overlap in the NCC itself —
+# correlation.go:421-449). When the winning lag uses less than this
+# fraction of the shorter series, the pick is PCM-verified against the
+# best HIGH-overlap peak, which otherwise may not survive the top-K
+# |corr| cut at all (extreme-lag spurious peaks can occupy every slot).
+_VERIFY_OVERLAP = 0.5
+
 
 def comb_ambiguity(correlations, peak_index: int, min_sep: int) -> float:
     """Ratio of the strongest well-separated secondary peak (> min_sep

@@ -574,17 +574,47 @@ def batched_align_audio(
     elif verify is False:
         need = np.zeros(b, dtype=bool)
     else:
-        need = out["ambiguity"] > _AMBIGUITY_ONSET
+        # two triggers (same policy as the per-pair align_audio_files):
+        # a comb-ambiguous correlation, or a winning lag whose NCC used
+        # less than _VERIFY_OVERLAP of the shorter series (tiny-overlap
+        # NCC is spuriously high; neither the reference nor this port
+        # penalizes overlap in the NCC itself)
+        from sonido_sonar_tpu.ops.stats.alignment import _VERIFY_OVERLAP
+
+        t1 = qe.shape[-1]
+        t2 = re_.shape[-1]
+        lag_f = -np.asarray(out["offset_samples"], dtype=np.float64) / hop_size
+        ov = np.maximum(
+            0.0, np.minimum(t1, t2 - lag_f) - np.maximum(0.0, -lag_f)
+        )
+        low_overlap = ov < _VERIFY_OVERLAP * min(t1, t2)
+        need = (out["ambiguity"] > _AMBIGUITY_ONSET) | low_overlap
     if need.any():
-        from sonido_sonar_tpu.parallel.pipeline import batched_phat_candidates
+        from sonido_sonar_tpu.parallel.pipeline import (
+            batched_phat_candidates,
+            batched_phat_global,
+        )
 
         # candidates: top-K well-separated correlation peaks plus the
         # hybrid's chosen offset (identical to the per-pair picker in
-        # extractors/alignment.py align_audio_files)
+        # extractors/alignment.py align_audio_files) plus the whitened
+        # full-range PHAT scan (the true offset may be invisible in the
+        # energy series entirely — see batched_phat_global)
+        glob_off, glob_peak = batched_phat_global(
+            q, r, sample_rate, int(max_lag_seconds * sample_rate)
+        )
+        glob_off = np.asarray(glob_off, dtype=np.float64)
+        glob_peak = np.asarray(glob_peak, dtype=np.float64)
+        # a weak global peak falls back to the pair's own offset (a
+        # duplicate candidate is corroboration, never competition)
+        glob_off = np.where(
+            glob_peak >= _VERIFY_FLOOR, glob_off, out["offset_seconds"]
+        )
         cand = np.concatenate(
             [
                 -out["topk_lags"].astype(np.float64) * hop_size / sample_rate,
                 out["offset_seconds"][:, None],
+                glob_off[:, None],
             ],
             axis=1,
         )

@@ -681,26 +681,54 @@ def crest_factor_frames(
     return jnp.where(rms > 0, peak / jnp.maximum(rms, _EPS), 0.0)
 
 
+def framed_sum_hopblocks(
+    values: jnp.ndarray, frame_size: int, hop_size: int, t: int
+) -> jnp.ndarray:
+    """Per-frame sums of `values` at (frame_size, hop_size) without the
+    [T, W] frames tensor, [..., N] -> [..., t].
+
+    Requires hop_size | frame_size (checked). Each frame is the sum of
+    k = frame_size/hop_size consecutive hop-sized block sums, so the
+    float32 error stays O(frame_size) regardless of signal length —
+    unlike a full-length cumsum, whose difference-of-prefix-sums
+    cancellation grows with N (≈1e-3 frame-energy error at 30 s clips).
+    """
+    if frame_size % hop_size != 0:
+        raise ValueError("framed_sum_hopblocks requires hop_size | frame_size")
+    k = frame_size // hop_size
+    nb = t - 1 + k  # last needed block ends at (t-1)*hop + frame <= N
+    v = values[..., : nb * hop_size].astype(jnp.float32)
+    bs = v.reshape(v.shape[:-1] + (nb, hop_size)).sum(axis=-1)
+    tot = bs[..., :t]
+    for i in range(1, k):
+        tot = tot + bs[..., i : i + t]
+    return tot
+
+
 def short_time_energy_cumsum(
     signal: jnp.ndarray, frame_size: int, hop_size: int
 ) -> jnp.ndarray:
-    """RMS per frame via prefix sums — O(N) and no [T, W] frames tensor.
+    """RMS per frame via hop-block partial sums — O(N) and no [T, W]
+    frames tensor.
 
     Bit-compatible semantics with `short_time_energy` (same frame
-    boundaries); accumulation order differs (float32 cumsum), error
-    ~1e-6 relative. Preferred in fused pipelines where the frames
-    tensor is otherwise unnecessary.
+    boundaries); accumulation order differs (block sums), error
+    ~1e-6 relative and independent of signal length. Preferred in fused
+    pipelines where the frames tensor is otherwise unnecessary.
     """
     from sonido_sonar_tpu.ops.framing import num_frames
 
     n = signal.shape[-1]
     t = num_frames(n, frame_size, hop_size)
     sq = signal.astype(jnp.float32) ** 2
-    csum = jnp.concatenate(
-        [jnp.zeros_like(sq[..., :1]), jnp.cumsum(sq, axis=-1)], axis=-1
-    )
-    starts = jnp.arange(t) * hop_size
-    tot = csum[..., starts + frame_size] - csum[..., starts]
+    if frame_size % hop_size == 0:
+        tot = framed_sum_hopblocks(sq, frame_size, hop_size, t)
+    else:
+        csum = jnp.concatenate(
+            [jnp.zeros_like(sq[..., :1]), jnp.cumsum(sq, axis=-1)], axis=-1
+        )
+        starts = jnp.arange(t) * hop_size
+        tot = csum[..., starts + frame_size] - csum[..., starts]
     return jnp.sqrt(jnp.maximum(tot, 0.0) / frame_size)
 
 

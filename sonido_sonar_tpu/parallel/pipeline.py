@@ -27,8 +27,8 @@ from sonido_sonar_tpu.config.config import FeatureConfig, WindowType
 from sonido_sonar_tpu.ops import spectral as S
 from sonido_sonar_tpu.ops import temporal as T
 from sonido_sonar_tpu.ops.chroma import chroma_from_magnitude
-from sonido_sonar_tpu.ops.filters import pre_emphasis
-from sonido_sonar_tpu.ops.framing import frame_signal
+from sonido_sonar_tpu.ops.filters import pre_emphasis, pre_emphasis_for_content
+from sonido_sonar_tpu.ops.framing import frame_signal, num_frames
 from sonido_sonar_tpu.ops.mfcc import MFCCParams, mfcc
 from sonido_sonar_tpu.ops.pitch import PitchParams
 from sonido_sonar_tpu.ops.stft import stft
@@ -171,6 +171,7 @@ def batched_speech_analysis(pcm: jnp.ndarray, sample_rate: int) -> Dict[str, jnp
     }
 
 
+@partial(jax.jit, static_argnames=("sample_rate", "window_size", "hop_size"))
 def batched_speech_extractor_features(
     pcm: jnp.ndarray,
     sample_rate: int = 44100,
@@ -178,37 +179,41 @@ def batched_speech_extractor_features(
     hop_size: int = 256,
 ) -> Dict[str, jnp.ndarray]:
     """Full speech-extractor surface: fingerprint features + the speech
-    analysis chain, [B, N] -> dict. This is the complete per-stream work
-    the reference's speech extractor performs (extractors/speech.go),
-    benchmarked as audio-hours/hour/chip alongside the fingerprint path."""
+    analysis chain, [B, N] -> dict, one jitted program. This is the
+    complete per-stream work the reference's speech extractor performs
+    (extractors/speech.go), benchmarked as audio-hours/hour/chip
+    alongside the fingerprint path.
+
+    Parity: the per-signal extractor pre-emphasizes (speech, 0.97)
+    before the whole speech chain (extractors/speech.py:85 /
+    speech.go:96) — everything below analyzes the same signal. STE
+    accumulation order differs from the framed path by ~1e-7 relative
+    (hop-block sums), which can flip a frame sitting exactly at the
+    silence-percentile threshold: speech_rate/pause classification may
+    differ by one frame quantum from the per-signal extractor."""
     out = batched_fingerprint_features(
         pcm, sample_rate=sample_rate, window_size=window_size,
         hop_size=hop_size, enable_chroma=False, enable_contrast=True,
     )
-    out.update(batched_speech_analysis(pcm, sample_rate))
+    x = pre_emphasis_for_content(pcm.astype(jnp.float32), "speech")
+    out.update(batched_speech_analysis(x, sample_rate))
 
     # remaining SpeechFeatures payload (speech.go:278-317 helpers) so
     # the batched surface covers everything the per-signal extractor
-    # emits: spectral tilt, pauses, speech rate — all via prefix sums
-    # (no [B, T, W] frames tensor)
-    from sonido_sonar_tpu.ops import temporal as T
-    from sonido_sonar_tpu.ops.framing import num_frames
-
-    x = pcm.astype(jnp.float32)
+    # emits: spectral tilt, pauses, speech rate — all via hop-block
+    # framed sums (no [B, T, W] frames tensor, no full-length cumsum
+    # whose cancellation error grows with clip length)
     n = x.shape[-1]
     t_tilt = num_frames(n, 1024, 512)
     d = x[..., 1:] - x[..., :-1]
-    cs_d2 = jnp.concatenate(
-        [jnp.zeros_like(d[..., :1]), jnp.cumsum(d * d, axis=-1)], axis=-1
-    )
-    x1sq = x[..., 1:] ** 2
-    cs_x2 = jnp.concatenate(
-        [jnp.zeros_like(x[..., :1]), jnp.cumsum(x1sq, axis=-1)], axis=-1
-    )
+    d2 = jnp.pad(d * d, [(0, 0)] * (x.ndim - 1) + [(0, 1)])
+    x2 = x * x
     starts = jnp.arange(t_tilt) * 512
-    # frame j covers samples [s, s+1024); diffs/x[1:] indices [s, s+1023)
-    high_e = cs_d2[..., starts + 1023] - cs_d2[..., starts]
-    low_e = cs_x2[..., starts + 1023] - cs_x2[..., starts]
+    # frame j covers samples [s, s+1024); the per-frame tilt sums run
+    # over diffs [s, s+1023) and samples [s+1, s+1024) — a full-window
+    # block sum minus the one boundary term, exactly
+    high_e = T.framed_sum_hopblocks(d2, 1024, 512, t_tilt) - d2[..., starts + 1023]
+    low_e = T.framed_sum_hopblocks(x2, 1024, 512, t_tilt) - x2[..., starts]
     tilt = jnp.where(
         low_e > 0,
         -10.0 * jnp.log10(jnp.maximum(high_e / jnp.maximum(low_e, _EPS), _EPS)),
@@ -674,3 +679,42 @@ def batched_phat_candidates(
     residual = -(idx.astype(jnp.int32) - max_lag)
     refined = (coarse + residual).astype(jnp.float32) / float(sample_rate)
     return refined, peaks
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "max_lag_samples"))
+def batched_phat_global(
+    query_pcm: jnp.ndarray,
+    reference_pcm: jnp.ndarray,
+    sample_rate: int,
+    max_lag_samples: int,
+) -> tuple:
+    """Whitened full-range GCC-PHAT scan per pair, [B, N] x2 ->
+    ([B] offset_seconds, [B] peak). The batched counterpart of
+    AlignmentExtractor._phat_global: on stationary/periodic content the
+    true offset can be invisible in the energy-series correlation
+    (tone-alias combs reach |NCC| 1.0 while the true lag scores ~0.1),
+    so it never enters the top-K candidate cut — the whitened PCM scan
+    supplies it directly. Positive offset = reference delayed."""
+    n1 = query_pcm.shape[-1]
+    n2 = reference_pcm.shape[-1]
+    length = min(n1, n2)
+    max_lag = min(max_lag_samples, length - 1)
+    n_fft = 1
+    while n_fft < length + max_lag:
+        n_fft <<= 1
+    f1 = jnp.fft.rfft(query_pcm.astype(jnp.float32)[..., :length], n=n_fft, axis=-1)
+    f2 = jnp.fft.rfft(reference_pcm.astype(jnp.float32)[..., :length], n=n_fft, axis=-1)
+    cross = f1 * jnp.conj(f2)
+    mag = jnp.abs(cross)
+    delta = 1e-3 * jnp.mean(mag, axis=-1, keepdims=True)
+    phat = cross / jnp.maximum(mag + delta, 1e-12)
+    cc = jnp.fft.irfft(phat, n=n_fft, axis=-1)
+    window = jnp.concatenate(
+        [cc[..., n_fft - max_lag :], cc[..., : max_lag + 1]], axis=-1
+    )
+    idx = jnp.argmax(window, axis=-1)
+    peaks = jnp.take_along_axis(window, idx[..., None], axis=-1)[..., 0]
+    offsets = -(idx.astype(jnp.int32) - max_lag).astype(jnp.float32) / float(
+        sample_rate
+    )
+    return offsets, peaks

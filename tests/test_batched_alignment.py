@@ -285,3 +285,33 @@ def test_batched_verification_matches_per_pair_default():
         assert (
             abs(out["offset_samples"][i] - feats.temporal_offset * SR) <= HOP
         ), i
+
+
+def test_stationary_content_rescued_by_global_phat():
+    """Stationary noise+tone: the true lag is nearly invisible in the
+    energy-series NCC (the tone-alias comb reaches |NCC| 1.0 at wrong
+    lags while the true lag scores ~0.1), so no top-K cut of that
+    series contains it. The whitened full-range PHAT candidate
+    (batched_phat_global / AlignmentExtractor._phat_global) must rescue
+    the default path on BOTH the per-pair and batched aligners."""
+    from sonido_sonar_tpu.config.config import FeatureConfig
+    from sonido_sonar_tpu.extractors.alignment import AlignmentExtractor
+
+    dur, lag_s = 5.0, 0.25
+    sig = (
+        white_noise(dur, SR, 0.3, seed=5)
+        + np.asarray(harmonic_tone(220.0, dur, SR)) * 0.3
+    ).astype(np.float32)
+    shifted = np.asarray(shift_signal(sig, int(lag_s * SR))).astype(np.float32)
+
+    fc = FeatureConfig(sample_rate=SR, window_size=WINDOW, hop_size=HOP)
+    ext = AlignmentExtractor(fc, max_lag_seconds=4.0)
+    feats = ext.align_audio_files(jnp.asarray(sig), jnp.asarray(shifted), SR)
+    assert abs(feats.temporal_offset - lag_s) <= HOP / SR, feats.temporal_offset
+
+    out = batched_align_audio(
+        sig[None], shifted[None], SR,
+        window_size=WINDOW, hop_size=HOP, max_lag_seconds=4.0,
+    )
+    assert bool(out["verified"][0])
+    assert abs(float(out["offset_seconds"][0]) - lag_s) <= HOP / SR

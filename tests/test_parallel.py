@@ -274,10 +274,14 @@ def test_batched_music_extractor_matches_per_signal():
 def test_batched_speech_extractor_matches_per_signal():
     """The batched speech-extractor surface covers the per-signal
     SpeechFeatureExtractor payload: tilt/pauses/speech-rate (added in
-    round 3 via prefix sums — no frames tensor) equal the extractor's
-    values field by field."""
+    round 3 via hop-block framed sums — no frames tensor) equal the
+    extractor's values field by field. The oracle applies the same
+    speech pre-emphasis the public extract_features path applies before
+    _extract_speech (extractors/speech.py:85) so the comparison covers
+    the real signal flow, not the private helper on raw PCM."""
     from sonido_sonar_tpu.extractors.speech import SpeechFeatureExtractor
     from sonido_sonar_tpu.io.synth import speech_like
+    from sonido_sonar_tpu.ops.filters import pre_emphasis_for_content
     from sonido_sonar_tpu.parallel.pipeline import (
         batched_speech_extractor_features,
     )
@@ -292,7 +296,8 @@ def test_batched_speech_extractor_matches_per_signal():
     cfg = FeatureConfig(sample_rate=sr, window_size=w, hop_size=h)
     ext = SpeechFeatureExtractor(cfg)
     for b in range(2):
-        spf = ext._extract_speech(jnp.asarray(pcm[b]), sr)
+        pre = pre_emphasis_for_content(jnp.asarray(pcm[b]), "speech")
+        spf = ext._extract_speech(pre, sr)
         # guard against a vacuous all-zero comparison (is_speech gate)
         assert np.any(np.asarray(spf.spectral_tilt) != 0.0), "tilt gated off"
         np.testing.assert_allclose(

@@ -208,3 +208,37 @@ def test_biquad_response_peak():
     freqs = jnp.asarray(np.array([100.0, 1000.0, 3000.0], np.float32))
     mag = np.asarray(biquad_response(b, a, freqs, SR))
     assert mag[1] > mag[0] and mag[1] > mag[2]
+
+
+def test_framed_sum_hopblocks_exact_long_clip():
+    """Hop-block framed sums stay within float32 budget on LONG clips,
+    where the old difference-of-prefix-sums lost ~1e-3 of frame energy
+    (catastrophic cancellation grows with N; the block scheme's error
+    is O(frame) regardless of length)."""
+    rng = np.random.default_rng(7)
+    n = 1_323_000  # 30 s at 44.1k
+    x = rng.standard_normal(n).astype(np.float32) * 0.3
+    w, h = 1024, 512
+    t = (n - w) // h + 1
+    got = np.asarray(T.framed_sum_hopblocks(jnp.asarray(x * x), w, h, t))
+    x64 = x.astype(np.float64)
+    idx = np.arange(w)[None, :] + (np.arange(t) * h)[:, None]
+    want = np.sum(x64[idx] ** 2, axis=-1)
+    rel = np.max(np.abs(got - want) / np.maximum(want, 1e-12))
+    assert rel < 1e-5, rel
+
+
+def test_short_time_energy_cumsum_long_clip_matches_framed():
+    """STE via hop blocks == framed STE to ~1e-6 on a 30 s clip (the
+    regression the cumsum path could not hold)."""
+    rng = np.random.default_rng(8)
+    x = (rng.standard_normal(1_323_000) * 0.2).astype(np.float32)
+    a = np.asarray(T.short_time_energy_cumsum(jnp.asarray(x), 1024, 256))
+    # float64 oracle on a sample of frames (full framed tensor is 5 GB)
+    x64 = x.astype(np.float64)
+    t = (x.shape[0] - 1024) // 256 + 1
+    sample = np.linspace(0, t - 1, 64).astype(int)
+    for j in sample:
+        s = j * 256
+        want = np.sqrt(np.mean(x64[s : s + 1024] ** 2))
+        np.testing.assert_allclose(a[j], want, rtol=3e-6, atol=1e-9)

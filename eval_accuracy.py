@@ -208,6 +208,18 @@ def run_extended(sr: int = 44100, quick: bool = False) -> dict:
                 *one_case(src, cdn, lag, verify_top_peaks=1),
             )
 
+    # stationary content (no envelope): the energy-series NCC is blind
+    # here — tone-alias combs reach |NCC| 1.0 at wrong lags while the
+    # true lag scores ~0.1, so only the overlap/ambiguity-triggered
+    # whitened full-range PHAT candidate (_phat_global) recovers it
+    stat_src = (
+        white_noise(dur, sr, 0.3, seed=21)
+        + np.asarray(harmonic_tone(220.0, dur, sr)) * 0.3
+    ).astype(np.float32)
+    for lag in lags[:2] + [-lags[0]]:
+        cdn = shift_signal(stat_src, lag, noise=0.05, gain=0.9)
+        record("stationary", *one_case(stat_src, cdn, lag))
+
     # time-stretch (clock skew): estimate_time_stretch via chroma DTW
     stretch_errs = []
     src = sources["music"]

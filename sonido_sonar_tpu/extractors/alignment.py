@@ -28,6 +28,7 @@ from sonido_sonar_tpu.extractors.features import ExtractedFeatures
 from sonido_sonar_tpu.logging import get_global_logger
 from sonido_sonar_tpu.ops.stats.alignment import (
     _AMBIGUITY_ONSET,
+    _VERIFY_CONF_CAP,
     _VERIFY_FLOOR,
     _VERIFY_MARGIN,
     _VERIFY_OVERLAP,
@@ -579,9 +580,15 @@ class AlignmentExtractor:
             if best_val >= _VERIFY_FLOOR and margin >= _VERIFY_MARGIN:
                 # PCM decisively confirms this offset: lift the comb-
                 # ambiguity penalty (the verbatim correlation confidence
-                # is the honest score for a verified peak).
+                # is the honest score for a verified peak), and floor
+                # the confidence at the whitened-peak evidence itself
+                # (the energy-series statistics can be garbage on
+                # stationary content even when the PCM evidence is
+                # near-perfect — see _VERIFY_CONF_CAP).
                 restored = correlation_confidence(res.cross_corr_result)
-                res.confidence = max(res.confidence, restored)
+                res.confidence = max(
+                    res.confidence, restored, min(_VERIFY_CONF_CAP, best_val)
+                )
         fa = FeatureAlignment(res, "energy", True)
         return AlignmentFeatures(
             best_alignment=fa,

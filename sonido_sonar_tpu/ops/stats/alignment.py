@@ -80,6 +80,15 @@ _VERIFY_MARGIN = 1.5
 # |corr| cut at all (extreme-lag spurious peaks can occupy every slot).
 _VERIFY_OVERLAP = 0.5
 
+# A decisively-verified offset reports confidence >= min(cap, peak):
+# the whitened PHAT peak is the fraction of the band coherently
+# supporting the offset — direct PCM evidence, stronger than any
+# energy-series statistic (which on stationary content is garbage even
+# when the PCM evidence is near-perfect: measured peak 0.99 with
+# correlation confidence 0.46). Capped below 1 so a verified answer is
+# never MORE confident than a clean unambiguous correlation.
+_VERIFY_CONF_CAP = 0.9
+
 
 def comb_ambiguity(correlations, peak_index: int, min_sep: int) -> float:
     """Ratio of the strongest well-separated secondary peak (> min_sep

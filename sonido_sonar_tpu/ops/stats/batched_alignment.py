@@ -641,11 +641,19 @@ def batched_align_audio(
         )
         # a decisive PCM confirmation lifts the comb-ambiguity penalty
         # (the verbatim correlation confidence is the honest score for
-        # a verified peak); indecisive keeps the penalized value so
-        # accept thresholds reject the measurement
+        # a verified peak) and floors confidence at the whitened-peak
+        # evidence itself (ops/stats/alignment._VERIFY_CONF_CAP — the
+        # energy-series statistics can be garbage on stationary content
+        # even when the PCM evidence is near-perfect); indecisive keeps
+        # the penalized value so accept thresholds reject the measurement
+        from sonido_sonar_tpu.ops.stats.alignment import _VERIFY_CONF_CAP
+
         out["confidence"] = np.where(
             need & decisive,
-            np.maximum(out["confidence"], out["confidence_unpenalized"]),
+            np.maximum(
+                np.maximum(out["confidence"], out["confidence_unpenalized"]),
+                np.minimum(_VERIFY_CONF_CAP, best_val),
+            ),
             out["confidence"],
         )
         out["verified"] = need

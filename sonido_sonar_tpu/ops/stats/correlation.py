@@ -245,11 +245,16 @@ def cross_correlate_pearson(
     correlation_type: str = "pearson",
 ) -> CorrelationResult:
     """Per-lag correlation over the overlap region — the reference's
-    time-domain/sliding-window path (correlation.go:203-229, 293-417;
-    computeSlidingWindow delegates to computeTimeDomain upstream).
+    time-domain/sliding-window path (correlation.go:203-229, 293-417).
     O(L*N); exact local normalization per lag. correlation_type:
     "pearson" (local means + stds), "ncc" (raw energy normalization),
-    "zncc" (whole-signal mean removal then ncc)."""
+    "zncc" (whole-signal mean removal then ncc).
+
+    NOTE on the sliding-window windowSize knob: the reference's
+    SlidingWindow method is a wholesale delegation to computeTimeDomain
+    (correlation.go:294-297) — its windowSize config field is read by
+    NO code path in the stats package, so there is deliberately no such
+    parameter here; this function IS the sliding-window method."""
     n1, n2 = signal1.shape[-1], signal2.shape[-1]
     max_lag = max(min(max_lag, n1 - 1, n2 - 1), 0)
     lags = jnp.arange(-max_lag, max_lag + 1, dtype=jnp.int32)

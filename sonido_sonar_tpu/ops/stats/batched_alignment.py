@@ -395,9 +395,13 @@ def batched_hybrid_align(
     max_lag = max(min(max_lag, t1 - 1, t2 - 1), 0)
     min_sep = max(int(0.1 * sample_rate / max(hop_size, 1)), 2)
 
-    xc = xcorr_align_batch(
-        q, r, max_lag, hop_size, t1, t2, min_sep=min_sep, top_k=top_k
-    )
+    xc = jax.device_get(
+        xcorr_align_batch(
+            q, r, max_lag, hop_size, t1, t2, min_sep=min_sep, top_k=top_k
+        )
+    )  # ONE host round trip for the whole [B]-sized dict: per-array
+    # np.asarray fetches each pay the remote-tunnel latency (measured
+    # ~40 ms of pure fetch overhead on 16x60 s pairs)
     corr_off = np.asarray(xc["offset_samples"])
     corr_conf = np.asarray(xc["confidence"])
     corr_gate = np.asarray(xc["confidence_gate"])
@@ -425,7 +429,7 @@ def batched_hybrid_align(
         band = min(band, max(t1, t2))
         if abs(t1 - t2) > band:
             band = abs(t1 - t2)
-        dt = dtw_align_batch(q, r, band, hop_size, t1, t2)
+        dt = jax.device_get(dtw_align_batch(q, r, band, hop_size, t1, t2))
         dtw_off = np.asarray(dt["offset_samples"])
         dtw_conf = np.asarray(dt["confidence"])
         dtw_sim = np.asarray(dt["similarity"])
@@ -600,8 +604,10 @@ def batched_align_audio(
         # extractors/alignment.py align_audio_files) plus the whitened
         # full-range PHAT scan (the true offset may be invisible in the
         # energy series entirely — see batched_phat_global)
-        glob_off, glob_peak = batched_phat_global(
-            q, r, sample_rate, int(max_lag_seconds * sample_rate)
+        glob_off, glob_peak = jax.device_get(
+            batched_phat_global(
+                q, r, sample_rate, int(max_lag_seconds * sample_rate)
+            )
         )
         glob_off = np.asarray(glob_off, dtype=np.float64)
         glob_peak = np.asarray(glob_peak, dtype=np.float64)
@@ -618,9 +624,11 @@ def batched_align_audio(
             ],
             axis=1,
         )
-        refined, peaks = batched_phat_candidates(
-            q, r, jnp.asarray(cand, dtype=jnp.float32), sample_rate,
-            hop_size=hop_size,
+        refined, peaks = jax.device_get(
+            batched_phat_candidates(
+                q, r, jnp.asarray(cand, dtype=jnp.float32), sample_rate,
+                hop_size=hop_size,
+            )
         )
         refined = np.asarray(refined, dtype=np.float64)
         peaks = np.asarray(peaks, dtype=np.float64)

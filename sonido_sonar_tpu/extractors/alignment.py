@@ -20,6 +20,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -320,9 +321,12 @@ class AlignmentExtractor:
         phat = cross / jnp.maximum(mag + delta, 1e-12)
         cc = jnp.fft.irfft(phat, n=n_fft)
         window = jnp.concatenate([cc[n_fft - max_lag :], cc[: max_lag + 1]])
-        idx = int(jnp.argmax(window))
+        # one fetch for (argmax, max): separate int()/float() coercions
+        # each pay a device round trip (docs/PERF.md rule 6)
+        idx_d, val_d = jax.device_get((jnp.argmax(window), jnp.max(window)))
+        idx = int(idx_d)
         residual = -(idx - max_lag)  # positive = reference (still) delayed
-        return (coarse + residual) / float(sample_rate), float(window[idx])
+        return (coarse + residual) / float(sample_rate), float(val_d)
 
     def _phat_global(
         self,
@@ -358,10 +362,11 @@ class AlignmentExtractor:
         phat = cross / jnp.maximum(mag + delta, 1e-12)
         cc = jnp.fft.irfft(phat, n=n_fft)
         window = jnp.concatenate([cc[n_fft - max_lag :], cc[: max_lag + 1]])
-        idx = int(jnp.argmax(window))
+        idx_d, val_d = jax.device_get((jnp.argmax(window), jnp.max(window)))
+        idx = int(idx_d)
         # positive offset = reference delayed (same convention as
         # _phat_refine's residual)
-        return -(idx - max_lag) / float(sample_rate), float(window[idx])
+        return -(idx - max_lag) / float(sample_rate), float(val_d)
 
     def verify_candidate_offsets(
         self,

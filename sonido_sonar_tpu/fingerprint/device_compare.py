@@ -597,4 +597,6 @@ def sharded_batched_similarity(
             rep(q_len), shard(c_len, P("data", None)),
             num_mfcc_coeffs=num_mfcc_coeffs, content_filter=content_filter,
         )
-    return {k: np.asarray(v)[:c] for k, v in out.items()}
+    # one host round trip for the whole result dict (per-array fetches
+    # each pay the remote-link latency — see docs/PERF.md rule 6)
+    return {k: v[:c] for k, v in jax.device_get(out).items()}

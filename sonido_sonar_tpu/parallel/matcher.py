@@ -153,4 +153,5 @@ def sharded_top_k_matches(
         sims = jnp.where(jnp.arange(sims.shape[0]) < c, sims, -jnp.inf)
     k = min(k, c)
     scores, idx = jax.lax.top_k(sims, k)
-    return np.asarray(idx), np.asarray(scores)
+    idx_h, scores_h = jax.device_get((idx, scores))  # one round trip
+    return idx_h, scores_h

@@ -531,13 +531,25 @@ def estimate_tempo(
     dependent; this facade normalizes each detection function to unit
     maximum first so the same thresholds behave scale-invariantly.
     """
+    from sonido_sonar_tpu.ops.pallas_stft import (
+        pallas_stft_available,
+        stft_magnitude_pallas,
+    )
     from sonido_sonar_tpu.ops.stft import stft
 
     x = signal.astype(jnp.float32)
     min_interval = 0.05
 
-    # flux onsets: window 1024 hop 512 (onset_detection.go:31-33)
-    mag = stft(x, 1024, 512, sample_rate=sample_rate).magnitude
+    # flux onsets: window 1024 hop 512 (onset_detection.go:31-33).
+    # On TPU the fused Pallas magnitude kernel replaces the XLA conv
+    # formulation this geometry otherwise lowers to (8.7 ms of the music
+    # program at B=32 x 30 s, docs/PERF.md round-3 trace); bf16 hi/lo
+    # 3-pass parity (~1e-5) is far inside the 0.3 relative onset
+    # threshold.
+    if pallas_stft_available(1024, 512):
+        mag = stft_magnitude_pallas(x, 1024, 512)
+    else:
+        mag = stft(x, 1024, 512, sample_rate=sample_rate).magnitude
     d = mag[..., 1:, :] - mag[..., :-1, :]
     flux = jnp.sqrt(jnp.sum(jnp.where(d > 0, d * d, 0.0), axis=-1))
     pad = [(0, 0)] * (flux.ndim - 1) + [(1, 0)]

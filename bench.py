@@ -396,6 +396,33 @@ def main() -> None:
         file=sys.stderr,
      flush=True)
 
+    # secondary: fleet corpus search — Q queries x C candidates in ONE
+    # dispatch (single-query dispatch is round-trip-bound on the remote
+    # chip: <1 ms device work under ~27 ms fixed dispatch+fetch)
+    from sonido_sonar_tpu.fingerprint.device_compare import (
+        batched_similarity_multi)
+
+    n_q = 64
+    qmat = jnp.asarray(rng.standard_normal((n_q, D)).astype(np.float32))
+    wmat = jnp.asarray(
+        np.tile(np.array([0.35, 0.25, 0.10, 0.20, 0.10, 0.10], np.float32),
+                (n_q, 1)))
+    q_codes = jnp.asarray(np.zeros(n_q, np.int32))
+    c_codes = jnp.asarray(np.zeros(n_corpus, np.int32))
+    step_multi = lambda: batched_similarity_multi(
+        qmat, corpus_dev, wmat, q_codes, c_codes, return_feature_sims=False)
+    float(step_multi()["overall"].sum())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(step_multi()["overall"].sum())
+    t_multi = (time.perf_counter() - t0) / reps
+    print(
+        f"[bench] fleet corpus search: {n_q} queries x {n_corpus} candidates "
+        f"in {t_multi*1000:.1f} ms = {n_q*n_corpus/t_multi/1e6:.0f}M "
+        f"comparisons/s",
+        file=sys.stderr,
+     flush=True)
+
     # secondary: 60 s-maxlag alignment wall-clock (2 x 120 s streams)
     x1 = jnp.asarray(rng.standard_normal(sr * 120).astype(np.float32))
     x2 = jnp.roll(x1, sr // 2)

@@ -493,6 +493,113 @@ class FingerprintComparator:
             m.rank = i + 1
         return matches
 
+    def find_best_matches_multi(
+        self,
+        queries: List[AudioFingerprint],
+        candidates: List[AudioFingerprint],
+        max_results: int = 0,
+    ) -> List[List[Match]]:
+        """Fleet corpus search: EVERY query scored against the whole
+        candidate corpus in ONE device dispatch
+        (device_compare.batched_similarity_multi). The reference runs
+        FindBestMatches per monitored stream inside its worker pool
+        (comparison.go:197-263); on a remote accelerator the round trip
+        dominates single-query scoring (<1 ms device work vs ~27 ms
+        dispatch+fetch), so a monitoring fleet's searches batch into one
+        program here. Returns one Match list per query, ordered like
+        `queries`; each list matches find_best_matches for that query
+        exactly (modulo float32 kernel rounding, as for the
+        single-query device path).
+
+        Detailed-metrics configs fall back to per-query
+        find_best_matches: the quality chain needs the per-pair series
+        comparisons (batched_similarity_detailed)."""
+        if self.config.enable_detailed_metrics:
+            return [
+                self.find_best_matches(q, candidates, max_results)
+                for q in queries
+            ]
+        import jax
+
+        from sonido_sonar_tpu.fingerprint.device_compare import (
+            FEATURE_ORDER,
+            MATCH_CLASSES,
+            batched_similarity_multi,
+            comparator_matrix,
+            pack_comparator_stats,
+        )
+
+        if not queries:
+            return []
+        max_results = max_results or self.config.max_candidates
+        cands = [c for c in candidates if c is not None]
+        if not cands:
+            return [[] for _ in queries]
+        corpus, width = comparator_matrix(cands)
+        qmat = np.stack(
+            [pack_comparator_stats(q, width) for q in queries]
+        )
+        weights = np.stack([
+            np.array(
+                [self._effective_weights(q).get(k, 0.0) for k in FEATURE_ORDER],
+                dtype=np.float32,
+            )
+            for q in queries
+        ])
+        codes = {ct: i for i, ct in enumerate(ContentType)}
+        q_codes = np.array(
+            [codes.get(q.content_type, -1) for q in queries], np.int32
+        )
+        c_codes = np.array(
+            [codes.get(c.content_type, -1) for c in cands], np.int32
+        )
+        out = jax.device_get(
+            batched_similarity_multi(
+                qmat, corpus, weights,
+                jnp.asarray(q_codes), jnp.asarray(c_codes),
+                num_mfcc_coeffs=width,
+                content_filter=self.config.enable_content_filter,
+            )
+        )
+        all_matches: List[List[Match]] = []
+        for qi, q in enumerate(queries):
+            matches = []
+            for ci, cand in enumerate(cands):
+                if cand.id == q.id:
+                    continue
+                sim = float(out["overall"][qi, ci])
+                if sim < self.config.similarity_threshold:
+                    continue
+                is_match = q_codes[qi] == c_codes[ci]
+                filtered = self.config.enable_content_filter and not is_match
+                r = SimilarityResult(
+                    fingerprint1_id=q.id,
+                    fingerprint2_id=cand.id,
+                    overall_similarity=sim,
+                    feature_similarity=sim,
+                    content_type_match=bool(is_match),
+                    match_type=MATCH_CLASSES[int(out["match_class"][qi, ci])],
+                    confidence=float(out["confidence"][qi, ci]),
+                )
+                if filtered:
+                    r.match_type = "weak"
+                    r.confidence = 0.0
+                else:
+                    for j, name in enumerate(FEATURE_ORDER):
+                        if bool(out["feature_present"][qi, ci, j]):
+                            r.feature_distances[name] = 1.0 - float(
+                                out["feature_sims"][qi, ci, j]
+                            )
+                matches.append(Match(cand, r, 0))
+            matches.sort(
+                key=lambda m: m.similarity.overall_similarity, reverse=True
+            )
+            matches = matches[:max_results]
+            for i, m in enumerate(matches):
+                m.rank = i + 1
+            all_matches.append(matches)
+        return all_matches
+
     def batch_compare_device(
         self,
         query: AudioFingerprint,

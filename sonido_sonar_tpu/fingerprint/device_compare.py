@@ -33,6 +33,7 @@ per-query work is all device-side.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -248,18 +249,57 @@ def content_weight_vector(content_type: ContentType) -> np.ndarray:
 # device kernel
 # ---------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=8)
+def _segment_selectors(num_mfcc_coeffs: int):
+    """Static metadata for the segment-matmul formulation of the scoring
+    chain: a [D, 9] 0/1 selection matrix (one column per dot/norm
+    segment of the packed layout — mfcc stats, 3 spectral series,
+    chroma, temporal rms, voicing, 2 harmonic), the presence/gate column
+    indices, and the scalar-feature column indices.
+
+    Why this shape: the naive chain slices ~40 individual columns out of
+    the [C, D] corpus and runs ~100 small [C]-vector ops — each one a
+    relayout + full pass over the candidate axis, which left the kernel
+    ~180x above its HBM byte bound on-chip (docs/PERF.md roofline). All
+    nine dot products and squared norms collapse into TWO [C, D] x
+    [D, 9] matmuls over 0/1 selectors (bf16-exact), and everything
+    downstream runs on [C, <=13] tiles — a handful of fused passes."""
+    off = _offsets(num_mfcc_coeffs)
+    D = layout_size(num_mfcc_coeffs)
+    a, b, c, d, e = (off["spectral"], off["chroma"], off["temporal"],
+                     off["speech"], off["harmonic"])
+    # groups 1-3 and 5-8 are the (mean, std) 2-vectors of
+    # compareSequenceStats (comparison.go:826-841) — their cosine is the
+    # same segment dot/norm computation as the wide mfcc/chroma blocks
+    groups = (
+        (off["mfcc"], off["mfcc"] + 2 * num_mfcc_coeffs),  # 0 mfcc stats
+        (a, a + 2), (a + 2, a + 4), (a + 4, a + 6),        # 1-3 spectral series
+        (b, b + 12),                                       # 4 chroma mean
+        (c + 3, c + 5),                                    # 5 temporal rms stats
+        (d + 2, d + 4),                                    # 6 speech voicing stats
+        (e, e + 2), (e + 3, e + 5),                        # 7-8 harmonic stats
+    )
+    sel = np.zeros((D, len(groups)), dtype=np.float32)
+    for g, (lo, hi) in enumerate(groups):
+        sel[lo:hi, g] = 1.0
+    sel.setflags(write=False)
+    # gate columns: 6 group-present bits, 3 spectral series bits,
+    # temporal rms bit, speech voicing bit, 2 harmonic bits
+    gate_cols = np.array(
+        [0, 1, 2, 3, 4, 5, a + 6, a + 7, a + 8, c + 5, d + 4, e + 2, e + 5],
+        dtype=np.int32,
+    )
+    gate_cols.setflags(write=False)
+    # scalar-feature columns: dynamic range, silence, onset density,
+    # speech rate, vocal tract length
+    scalar_cols = np.array([c, c + 1, c + 2, d, d + 1], dtype=np.int32)
+    scalar_cols.setflags(write=False)
+    return sel, gate_cols, scalar_cols
+
+
 def _cosine(dot, n1, n2):
     """cosineSimilarity gating (comparison.go:858-873): zero norm -> 0."""
     return jnp.where((n1 > 0) & (n2 > 0), dot / jnp.maximum(n1 * n2, _EPS), 0.0)
-
-
-def _stats2_cosine(m1, s1, m2, s2):
-    """compareSequenceStats (comparison.go:826-841): cosine of
-    (mean, std) 2-vectors."""
-    dot = m1 * m2 + s1 * s2
-    n1 = jnp.sqrt(m1 * m1 + s1 * s1)
-    n2 = jnp.sqrt(m2 * m2 + s2 * s2)
-    return _cosine(dot, n1, n2)
 
 
 def _scalar_sim(v1, v2):
@@ -282,92 +322,83 @@ def batched_similarity(
     candidates. Returns dict with overall [C], confidence [C],
     match_class [C] int32 (index into MATCH_CLASSES), feature_sims
     [C, 6] and feature_present [C, 6] (both in FEATURE_ORDER).
+
+    Formulation: all nine dot products / squared norms of the chain ride
+    TWO [C, D] x [D, 9] selector matmuls (HIGHEST precision — these also
+    carry the MFCC/chroma cosines, where bf16 MXU passes would inject
+    ~1e-3 error the CPU parity tests cannot see); the gated means then
+    run on [C, <=13] tiles. Values are identical to the per-term chain
+    (same expressions, same gates) — see _segment_selectors for why.
     """
-    off = _offsets(num_mfcc_coeffs)
+    sel_np, gate_cols_np, scalar_cols_np = _segment_selectors(num_mfcc_coeffs)
+    sel = jnp.asarray(sel_np)
     q = query.astype(jnp.float32)
     X = corpus.astype(jnp.float32)
 
+    hi = jax.lax.Precision.HIGHEST
+    dots = jnp.matmul(X * q[None, :], sel, precision=hi)   # [C, 9]
+    sq_x = jnp.matmul(X * X, sel, precision=hi)            # [C, 9]
+    sq_q = jnp.matmul(q * q, sel, precision=hi)            # [9]
+    cos = _cosine(dots, jnp.sqrt(sq_x), jnp.sqrt(sq_q)[None, :])  # [C, 9]
+
+    Xg = X[:, gate_cols_np]                                # [C, 13]
+    qg = q[gate_cols_np]
+    gate = (qg[None, :] > 0) & (Xg > 0)                    # [C, 13]
+
+    Xs = X[:, scalar_cols_np]                              # [C, 5]
+    qs = q[scalar_cols_np]
+    ssim = _scalar_sim(qs[None, :], Xs)                    # [C, 5]
+
     sims = []
-    present = []
+    present = [gate[:, j] for j in range(6)]
 
-    # --- MFCC stats cosine ------------------------------------------------
-    lo, hi = off["mfcc"], off["mfcc"] + 2 * num_mfcc_coeffs
-    qs, Xs = q[lo:hi], X[:, lo:hi]
-    dot = Xs @ qs
-    mfcc_sim = _cosine(dot, jnp.linalg.norm(qs), jnp.linalg.norm(Xs, axis=-1))
-    sims.append(mfcc_sim)
-    present.append((q[0] > 0) & (X[:, 0] > 0))
+    # --- MFCC stats cosine --------------------------------------------
+    sims.append(cos[:, 0])
 
-    # --- spectral: mean of per-series (mean, std) cosines ------------------
-    base = off["spectral"]
-    acc = jnp.zeros(X.shape[0])
-    cnt = jnp.zeros(X.shape[0])
-    for i in range(3):
-        m1, s1 = q[base + 2 * i], q[base + 2 * i + 1]
-        m2, s2 = X[:, base + 2 * i], X[:, base + 2 * i + 1]
-        p = (q[base + 6 + i] > 0) & (X[:, base + 6 + i] > 0)
-        acc = acc + jnp.where(p, _stats2_cosine(m1, s1, m2, s2), 0.0)
-        cnt = cnt + p.astype(jnp.float32)
+    # --- spectral: mean of gated per-series (mean, std) cosines --------
+    acc = jnp.sum(jnp.where(gate[:, 6:9], cos[:, 1:4], 0.0), axis=-1)
+    cnt = jnp.sum(gate[:, 6:9].astype(jnp.float32), axis=-1)
     sims.append(jnp.where(cnt > 0, acc / jnp.maximum(cnt, 1.0), 0.0))
-    present.append((q[1] > 0) & (X[:, 1] > 0))
 
-    # --- chroma mean-vector cosine -----------------------------------------
-    lo, hi = off["chroma"], off["chroma"] + 12
-    qc, Xc = q[lo:hi], X[:, lo:hi]
-    sims.append(_cosine(Xc @ qc, jnp.linalg.norm(qc), jnp.linalg.norm(Xc, axis=-1)))
-    present.append((q[2] > 0) & (X[:, 2] > 0))
+    # --- chroma mean-vector cosine --------------------------------------
+    sims.append(cos[:, 4])
 
-    # --- temporal -----------------------------------------------------------
-    base = off["temporal"]
-    dr1, dr2 = q[base], X[:, base]
-    sil1, sil2 = q[base + 1], X[:, base + 1]
-    od1, od2 = q[base + 2], X[:, base + 2]
-    acc = jnp.zeros(X.shape[0])
-    cnt = jnp.zeros(X.shape[0])
-    g = (dr1 > 0) & (dr2 > 0)
-    acc += jnp.where(g, _scalar_sim(dr1, dr2), 0.0); cnt += g
-    acc += _scalar_sim(sil1, sil2); cnt += 1.0  # silence term unconditional
-    g = (od1 > 0) & (od2 > 0)
-    acc += jnp.where(g, _scalar_sim(od1, od2), 0.0); cnt += g
-    g = (q[base + 5] > 0) & (X[:, base + 5] > 0)
-    acc += jnp.where(
-        g, _stats2_cosine(q[base + 3], q[base + 4], X[:, base + 3], X[:, base + 4]),
-        0.0,
-    ); cnt += g
+    # --- temporal: dr + silence (unconditional) + onsets + rms stats ----
+    g_dr = (qs[0] > 0) & (Xs[:, 0] > 0)
+    g_od = (qs[2] > 0) & (Xs[:, 2] > 0)
+    g_rms = gate[:, 9]
+    acc = (
+        jnp.where(g_dr, ssim[:, 0], 0.0)
+        + ssim[:, 1]
+        + jnp.where(g_od, ssim[:, 2], 0.0)
+        + jnp.where(g_rms, cos[:, 5], 0.0)
+    )
+    cnt = (
+        g_dr.astype(jnp.float32) + 1.0 + g_od.astype(jnp.float32)
+        + g_rms.astype(jnp.float32)
+    )
     sims.append(acc / jnp.maximum(cnt, 1.0))
-    present.append((q[3] > 0) & (X[:, 3] > 0))
 
-    # --- speech --------------------------------------------------------------
-    base = off["speech"]
-    acc = jnp.zeros(X.shape[0])
-    cnt = jnp.zeros(X.shape[0])
-    g = (q[base] > 0) & (X[:, base] > 0)
-    acc += jnp.where(g, _scalar_sim(q[base], X[:, base]), 0.0); cnt += g
-    g = (q[base + 1] > 0) & (X[:, base + 1] > 0)
-    acc += jnp.where(g, _scalar_sim(q[base + 1], X[:, base + 1]), 0.0); cnt += g
-    g = (q[base + 4] > 0) & (X[:, base + 4] > 0)
-    acc += jnp.where(
-        g, _stats2_cosine(q[base + 2], q[base + 3], X[:, base + 2], X[:, base + 3]),
-        0.0,
-    ); cnt += g
+    # --- speech: rate + vocal tract length + voicing stats --------------
+    g_rate = (qs[3] > 0) & (Xs[:, 3] > 0)
+    g_vtl = (qs[4] > 0) & (Xs[:, 4] > 0)
+    g_voice = gate[:, 10]
+    acc = (
+        jnp.where(g_rate, ssim[:, 3], 0.0)
+        + jnp.where(g_vtl, ssim[:, 4], 0.0)
+        + jnp.where(g_voice, cos[:, 6], 0.0)
+    )
+    cnt = (
+        g_rate.astype(jnp.float32) + g_vtl.astype(jnp.float32)
+        + g_voice.astype(jnp.float32)
+    )
     sims.append(jnp.where(cnt > 0, acc / jnp.maximum(cnt, 1.0), 0.0))
-    present.append((q[4] > 0) & (X[:, 4] > 0))
 
-    # --- harmonic --------------------------------------------------------------
-    base = off["harmonic"]
-    acc = jnp.zeros(X.shape[0])
-    cnt = jnp.zeros(X.shape[0])
-    g = (q[base + 2] > 0) & (X[:, base + 2] > 0)
-    acc += jnp.where(
-        g, _stats2_cosine(q[base], q[base + 1], X[:, base], X[:, base + 1]), 0.0
-    ); cnt += g
-    g = (q[base + 5] > 0) & (X[:, base + 5] > 0)
-    acc += jnp.where(
-        g, _stats2_cosine(q[base + 3], q[base + 4], X[:, base + 3], X[:, base + 4]),
-        0.0,
-    ); cnt += g
+    # --- harmonic: two gated stats cosines -------------------------------
+    g_h1, g_h2 = gate[:, 11], gate[:, 12]
+    acc = jnp.where(g_h1, cos[:, 7], 0.0) + jnp.where(g_h2, cos[:, 8], 0.0)
+    cnt = g_h1.astype(jnp.float32) + g_h2.astype(jnp.float32)
     sims.append(jnp.where(cnt > 0, acc / jnp.maximum(cnt, 1.0), 0.0))
-    present.append((q[5] > 0) & (X[:, 5] > 0))
 
     feature_sims = jnp.stack(sims, axis=-1)            # [C, 6]
     feature_present = jnp.stack(present, axis=-1)      # [C, 6] bool
@@ -415,6 +446,150 @@ def batched_similarity(
         "feature_sims": jnp.where(keep[:, None], feature_sims, 0.0),
         "feature_present": feature_present & keep[:, None],
     }
+
+
+@partial(jax.jit, static_argnames=("num_mfcc_coeffs", "content_filter",
+                                   "return_feature_sims"))
+def batched_similarity_multi(
+    queries: jnp.ndarray,          # [Q, D]
+    corpus: jnp.ndarray,           # [C, D]
+    weights: jnp.ndarray,          # [Q, 6] per-query content weights
+    q_content: jnp.ndarray,        # [Q] int32 content codes
+    c_content: jnp.ndarray,        # [C] int32 content codes
+    num_mfcc_coeffs: int = 13,
+    content_filter: bool = False,
+    return_feature_sims: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Q queries scored against C packed candidates in ONE dispatch —
+    the corpus-search shape for a fleet of live streams (the reference
+    runs FindBestMatches per stream in its worker pool,
+    comparison.go:197-263; here the whole fleet's search is one
+    program). Single-query dispatch is round-trip-bound on the remote
+    chip (~27 ms wall for <1 ms of device work), so amortizing Q
+    queries per dispatch is the real throughput lever.
+
+    All Q*9 segment dot products ride one [Q*9, D] x [D, C] HIGHEST
+    matmul (the per-query selector expansion W[i,g,j] = Q[i,j]*sel[j,g]
+    is built on device, [Q*9, D] is tiny); candidate norms are shared
+    across queries. Content matching runs in-kernel from integer codes
+    so no [Q, C] host-built mask ships over the link.
+
+    Returns overall/confidence [Q, C], match_class [Q, C] int32, and —
+    when return_feature_sims is set — feature_sims [Q, C, 6] /
+    feature_present [Q, C, 6]. Row i equals batched_similarity(row i)
+    exactly (tests/test_device_compare.py)."""
+    sel_np, gate_cols_np, scalar_cols_np = _segment_selectors(num_mfcc_coeffs)
+    sel = jnp.asarray(sel_np)                              # [D, 9]
+    Q = queries.astype(jnp.float32)
+    X = corpus.astype(jnp.float32)
+    nq = Q.shape[0]
+
+    hi = jax.lax.Precision.HIGHEST
+    Xt = X.T                                               # [D, C]
+    W = (Q[:, None, :] * sel.T[None, :, :]).reshape(nq * 9, -1)  # [Q*9, D]
+    dots = jnp.matmul(W, Xt, precision=hi).reshape(nq, 9, -1)    # [Q, 9, C]
+    sq_x = jnp.matmul(sel.T, Xt * Xt, precision=hi)              # [9, C]
+    sq_q = jnp.matmul(Q * Q, sel, precision=hi)                  # [Q, 9]
+    cos = _cosine(
+        dots, jnp.sqrt(sq_q)[:, :, None], jnp.sqrt(sq_x)[None, :, :]
+    )                                                            # [Q, 9, C]
+
+    gx = Xt[gate_cols_np, :]                               # [13, C]
+    gq = Q[:, gate_cols_np]                                # [Q, 13]
+    gate = (gq[:, :, None] > 0) & (gx[None, :, :] > 0)     # [Q, 13, C]
+
+    sx = Xt[scalar_cols_np, :]                             # [5, C]
+    sq = Q[:, scalar_cols_np]                              # [Q, 5]
+    ssim = _scalar_sim(sq[:, :, None], sx[None, :, :])     # [Q, 5, C]
+
+    sims = []
+    sims.append(cos[:, 0, :])                              # mfcc
+    acc = jnp.sum(jnp.where(gate[:, 6:9, :], cos[:, 1:4, :], 0.0), axis=1)
+    cnt = jnp.sum(gate[:, 6:9, :].astype(jnp.float32), axis=1)
+    sims.append(jnp.where(cnt > 0, acc / jnp.maximum(cnt, 1.0), 0.0))
+    sims.append(cos[:, 4, :])                              # chroma
+    # temporal
+    g_dr = (sq[:, 0, None] > 0) & (sx[None, 0, :] > 0)
+    g_od = (sq[:, 2, None] > 0) & (sx[None, 2, :] > 0)
+    g_rms = gate[:, 9, :]
+    acc = (
+        jnp.where(g_dr, ssim[:, 0, :], 0.0)
+        + ssim[:, 1, :]
+        + jnp.where(g_od, ssim[:, 2, :], 0.0)
+        + jnp.where(g_rms, cos[:, 5, :], 0.0)
+    )
+    cnt = (
+        g_dr.astype(jnp.float32) + 1.0 + g_od.astype(jnp.float32)
+        + g_rms.astype(jnp.float32)
+    )
+    sims.append(acc / jnp.maximum(cnt, 1.0))
+    # speech
+    g_rate = (sq[:, 3, None] > 0) & (sx[None, 3, :] > 0)
+    g_vtl = (sq[:, 4, None] > 0) & (sx[None, 4, :] > 0)
+    g_voice = gate[:, 10, :]
+    acc = (
+        jnp.where(g_rate, ssim[:, 3, :], 0.0)
+        + jnp.where(g_vtl, ssim[:, 4, :], 0.0)
+        + jnp.where(g_voice, cos[:, 6, :], 0.0)
+    )
+    cnt = (
+        g_rate.astype(jnp.float32) + g_vtl.astype(jnp.float32)
+        + g_voice.astype(jnp.float32)
+    )
+    sims.append(jnp.where(cnt > 0, acc / jnp.maximum(cnt, 1.0), 0.0))
+    # harmonic
+    g_h1, g_h2 = gate[:, 11, :], gate[:, 12, :]
+    acc = jnp.where(g_h1, cos[:, 7, :], 0.0) + jnp.where(g_h2, cos[:, 8, :], 0.0)
+    cnt = g_h1.astype(jnp.float32) + g_h2.astype(jnp.float32)
+    sims.append(jnp.where(cnt > 0, acc / jnp.maximum(cnt, 1.0), 0.0))
+
+    feature_sims = jnp.stack(sims, axis=1)                 # [Q, 6, C]
+    feature_present = gate[:, :6, :]                       # [Q, 6, C]
+
+    content_match = q_content[:, None] == c_content[None, :]   # [Q, C]
+
+    wmask = feature_present.astype(jnp.float32) * weights[:, :, None]
+    wsum = wmask.sum(axis=1)                               # [Q, C]
+    n_present = feature_present.sum(axis=1).astype(jnp.float32)
+    weighted = (feature_sims * wmask).sum(axis=1) / jnp.maximum(wsum, _EPS)
+    unweighted = (
+        (feature_sims * feature_present).sum(axis=1)
+        / jnp.maximum(n_present, 1.0)
+    )
+    overall = jnp.where(wsum > 0, weighted, unweighted)
+
+    keep = content_match if content_filter else jnp.ones_like(content_match)
+    overall = jnp.where(keep, overall, 0.0)
+
+    conf = (
+        0.5
+        + jnp.where(overall > 0.8, 0.3, jnp.where(overall > 0.6, 0.2, 0.0))
+        + jnp.where(content_match, 0.1, 0.0)
+        + n_present * 0.05
+    )
+    confidence = jnp.where(keep, jnp.clip(conf, 0.0, 1.0), 0.0)
+
+    match_class = (
+        (overall >= 0.6).astype(jnp.int32)
+        + (overall >= 0.75).astype(jnp.int32)
+        + (overall >= 0.85).astype(jnp.int32)
+        + (overall >= 0.95).astype(jnp.int32)
+    )
+    match_class = jnp.where(keep, match_class, 0)
+
+    out = {
+        "overall": overall,
+        "confidence": confidence,
+        "match_class": match_class,
+    }
+    if return_feature_sims:
+        out["feature_sims"] = jnp.where(
+            keep[:, None, :], feature_sims, 0.0
+        ).transpose(0, 2, 1)                               # [Q, C, 6]
+        out["feature_present"] = (
+            feature_present & keep[:, None, :]
+        ).transpose(0, 2, 1)
+    return out
 
 
 @partial(jax.jit, static_argnames=("num_mfcc_coeffs", "content_filter"))

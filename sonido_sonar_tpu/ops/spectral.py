@@ -354,31 +354,6 @@ def classify_frame_type(frames: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(energy < 0.001, 0, cls)
 
 
-def zcr_from_signal(
-    signal: jnp.ndarray, frame_size: int, hop_size: int, sample_rate: int
-) -> jnp.ndarray:
-    """Frame ZCR (crossings/sec) via a prefix sum over the sign-change
-    indicator — O(N), no frames tensor. Matches `zcr` over frames except
-    it also counts the crossing straddling each frame's first sample
-    (the framed version can't see sample -1); for frame_size >> 1 the
-    difference is at most 1 crossing."""
-    from sonido_sonar_tpu.ops.framing import num_frames
-
-    n = signal.shape[-1]
-    t = num_frames(n, frame_size, hop_size)
-    nonneg = signal >= 0
-    change = (nonneg[..., 1:] != nonneg[..., :-1]).astype(jnp.float32)
-    csum = jnp.concatenate(
-        [jnp.zeros_like(change[..., :1]), jnp.cumsum(change, axis=-1)], axis=-1
-    )
-    starts = jnp.arange(t) * hop_size
-    # crossings within [start, start+frame): indicator indices
-    # [start, start+frame-1) -> csum[start+frame-1] - csum[start]
-    cnt = csum[..., starts + frame_size - 1] - csum[..., starts]
-    duration = frame_size / float(sample_rate)
-    return cnt / duration
-
-
 def spectral_contrast_custom_bands(
     magnitude: jnp.ndarray, sample_rate: int, band_freqs_hz: tuple
 ) -> jnp.ndarray:

@@ -260,3 +260,80 @@ def test_constant_series_rounding_noise_excluded():
     # host: rolloff skipped (NaN), mean over centroid only
     assert got.spectral_coherence == pytest.approx(
         want.spectral_coherence, abs=2e-4)
+
+
+@pytest.mark.parametrize("content_filter", [False, True])
+def test_multi_query_matches_single(content_filter):
+    """batched_similarity_multi row i == batched_similarity(query i):
+    the one-dispatch fleet search must be a pure reshape of the
+    single-query chain, gates and weights included."""
+    import jax
+
+    from sonido_sonar_tpu.fingerprint.device_compare import (
+        batched_similarity,
+        batched_similarity_multi,
+    )
+
+    rng = np.random.default_rng(21)
+    queries = _random_corpus(rng, 6, prefix="q")
+    cands = _random_corpus(rng, 97)
+    corpus, k = comparator_matrix(cands)
+    qmat, _ = comparator_matrix(queries, num_mfcc_coeffs=k)
+    weights = np.stack(
+        [content_weight_vector(q.content_type) for q in queries]
+    )
+    q_codes = np.array(
+        [list(ContentType).index(q.content_type) for q in queries], np.int32
+    )
+    c_codes = np.array(
+        [list(ContentType).index(c.content_type) for c in cands], np.int32
+    )
+    multi = jax.device_get(
+        batched_similarity_multi(
+            qmat, corpus, weights, q_codes, c_codes,
+            num_mfcc_coeffs=k, content_filter=content_filter,
+        )
+    )
+    for i, q in enumerate(queries):
+        single = jax.device_get(
+            batched_similarity(
+                qmat[i], corpus, weights[i], q_codes[i] == c_codes,
+                num_mfcc_coeffs=k, content_filter=content_filter,
+            )
+        )
+        np.testing.assert_allclose(
+            multi["overall"][i], single["overall"], atol=TOL, rtol=0)
+        np.testing.assert_allclose(
+            multi["confidence"][i], single["confidence"], atol=TOL, rtol=0)
+        np.testing.assert_array_equal(
+            multi["match_class"][i], single["match_class"])
+        np.testing.assert_allclose(
+            multi["feature_sims"][i], single["feature_sims"], atol=TOL, rtol=0)
+        np.testing.assert_array_equal(
+            multi["feature_present"][i], single["feature_present"])
+
+
+def test_find_best_matches_multi_end_to_end():
+    """find_best_matches_multi == per-query find_best_matches (ids,
+    ranks, similarities) for a fleet of queries over one corpus."""
+    rng = np.random.default_rng(22)
+    comp = FingerprintComparator(ComparisonConfig(similarity_threshold=0.1))
+    queries = _random_corpus(rng, 4, prefix="q")
+    # include one query that is ALSO in the corpus (self-exclusion)
+    cands = _random_corpus(rng, 50) + [queries[0]]
+    multi = comp.find_best_matches_multi(queries, [None] + cands)
+    assert len(multi) == len(queries)
+    for q, got in zip(queries, multi):
+        want = comp.find_best_matches(q, [None] + cands)
+        assert [m.fingerprint.id for m in got] == [
+            m.fingerprint.id for m in want
+        ]
+        for g, w in zip(got, want):
+            assert g.rank == w.rank
+            assert g.similarity.overall_similarity == pytest.approx(
+                w.similarity.overall_similarity, abs=TOL)
+            assert g.similarity.confidence == pytest.approx(
+                w.similarity.confidence, abs=TOL)
+            assert g.similarity.match_type == w.similarity.match_type
+            assert g.similarity.feature_distances.keys() == (
+                w.similarity.feature_distances.keys())

@@ -115,6 +115,10 @@ def test_two_process_distributed_mesh(tmp_path):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.pop("JAX_PLATFORMS", None)
+    # the worker runs by script path, so sys.path[0] is tmp_path, not
+    # the repo — make the package importable without an editable install
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), "2", str(port)],

@@ -33,17 +33,35 @@ def capture(
 
     from sonido_sonar_tpu.parallel import pipeline as P
 
-    fns = {
-        "fingerprint": P.batched_fingerprint_features,
-        "speech": P.batched_speech_extractor_features,
-        "music": P.batched_music_extractor_features,
-    }
-    fn = fns[which]
     sr = 44100
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, sr * secs)).astype(np.float32) * 0.1)
+    if which == "comparator":
+        # batch = candidate count C; secs unused. Mirrors the bench's
+        # device-comparator workload (one query vs a packed corpus).
+        from sonido_sonar_tpu.fingerprint.device_compare import (
+            batched_similarity,
+            layout_size,
+        )
+
+        d = layout_size(13)
+        corpus = jnp.asarray(rng.standard_normal((batch, d)).astype(np.float32))
+        query = jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+        weights = jnp.asarray(np.full(6, 1 / 6, dtype=np.float32))
+        match = jnp.asarray(np.ones(batch, dtype=bool))
+        x = corpus
+        step = lambda v: batched_similarity(query, v, weights, match)
+    else:
+        fns = {
+            "fingerprint": P.batched_fingerprint_features,
+            "speech": P.batched_speech_extractor_features,
+            "music": P.batched_music_extractor_features,
+        }
+        fn = fns[which]
+        x = jnp.asarray(
+            rng.standard_normal((batch, sr * secs)).astype(np.float32) * 0.1
+        )
+        step = lambda v: fn(v, sample_rate=sr, window_size=1024, hop_size=256)
     jax.block_until_ready(x)
-    step = lambda v: fn(v, sample_rate=sr, window_size=1024, hop_size=256)
     float(jax.tree_util.tree_leaves(step(x))[0].sum())  # compile + warm
     shutil.rmtree(trace_dir, ignore_errors=True)
     import jax.profiler

@@ -173,12 +173,17 @@ def _yin_pick(
     has = jnp.any(cand, axis=-1)
     min_tau = jnp.argmax(cand, axis=-1)  # first True
 
-    # parabolic interpolation on cmndf around min_tau
+    # parabolic interpolation on cmndf around min_tau. One-hot masked
+    # reductions, not take_along_axis: three per-row single-element
+    # gathers on a [B, T, H] lag axis cost ~1.6 ms EACH on-chip (music
+    # trace, docs/PERF.md — element gathers are never the answer on
+    # TPU); the masked sums fuse into one vector pass.
     tm1 = jnp.clip(min_tau - 1, 0, h - 1)
     tp1 = jnp.clip(min_tau + 1, 0, h - 1)
-    y0 = jnp.take_along_axis(cm, tm1[..., None], axis=-1)[..., 0]
-    y1 = jnp.take_along_axis(cm, min_tau[..., None], axis=-1)[..., 0]
-    y2 = jnp.take_along_axis(cm, tp1[..., None], axis=-1)[..., 0]
+    iota = jnp.arange(h, dtype=min_tau.dtype)
+    y0 = jnp.sum(jnp.where(iota == tm1[..., None], cm, 0.0), axis=-1)
+    y1 = jnp.sum(jnp.where(iota == min_tau[..., None], cm, 0.0), axis=-1)
+    y2 = jnp.sum(jnp.where(iota == tp1[..., None], cm, 0.0), axis=-1)
     denom = y0 - 2.0 * y1 + y2
     shift = jnp.where(
         jnp.abs(denom) > _EPS, 0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0), 0.0

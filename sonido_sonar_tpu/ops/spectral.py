@@ -217,7 +217,13 @@ def spectral_contrast(
             peak = jnp.mean(sorted_desc[..., :k], axis=-1)
             valley = jnp.mean(sorted_desc[..., width - k :], axis=-1)
         else:
-            sorted_band = jnp.sort(band, axis=-1)
+            # stable=False: jnp.sort's default stable lowering pairs the
+            # values with an s32 iota tie-breaker — for a [B, T, w] band
+            # that iota plus its batch-chunk DMA slices cost more than
+            # the sort itself (music-extractor trace). Only the ORDER of
+            # equal elements differs; the sorted values, and so the
+            # top/bottom-k means, are bit-identical.
+            sorted_band = jnp.sort(band, axis=-1, stable=False)
             valley = jnp.mean(sorted_band[..., :k], axis=-1)
             peak = jnp.mean(sorted_band[..., width - k :], axis=-1)
         valley = jnp.maximum(valley, _EPS)
@@ -249,23 +255,35 @@ def zcr_from_signal(
     signal: jnp.ndarray, window_size: int, hop_size: int, sample_rate: int
 ) -> jnp.ndarray:
     """zcr over sliding frames WITHOUT materializing the [..., T, W]
-    frames tensor: sign-change indicators are prefix-summed once and
-    each frame's count is a two-point difference (frame j covers
-    samples [j*hop, j*hop + W), counting changes at boundaries
-    i -> i+1 for i in [j*hop, j*hop + W - 1)). Identical to
-    zcr(frame_signal(x, W, hop)[..., :T, :], sr)."""
+    frames tensor. Frame j covers samples [j*hop, j*hop + W), counting
+    changes at boundaries i -> i+1 for i in [j*hop, j*hop + W - 1).
+    Identical to zcr(frame_signal(x, W, hop)[..., :T, :], sr) —
+    bit-exact, the counts are small integers.
+
+    When hop | window the counts are hop-block partial sums minus the
+    one boundary indicator (a full-length jnp.cumsum on a 1.3 M-sample
+    clip lowers to a multi-ms while loop on TPU — music trace,
+    docs/PERF.md); the prefix-sum fallback covers other geometries."""
     from sonido_sonar_tpu.ops.framing import num_frames
 
     x = signal
     t = num_frames(x.shape[-1], window_size, hop_size)
     nonneg = x >= 0
     changes = (nonneg[..., 1:] != nonneg[..., :-1]).astype(jnp.float32)
-    cs = jnp.concatenate(
-        [jnp.zeros_like(changes[..., :1]), jnp.cumsum(changes, axis=-1)],
-        axis=-1,
-    )
     starts = jnp.arange(t) * hop_size
-    counts = cs[..., starts + window_size - 1] - cs[..., starts]
+    if window_size % hop_size == 0:
+        from sonido_sonar_tpu.ops.temporal import framed_sum_hopblocks
+
+        ch = jnp.pad(changes, [(0, 0)] * (changes.ndim - 1) + [(0, 1)])
+        counts = framed_sum_hopblocks(
+            ch, window_size, hop_size, t
+        ) - ch[..., starts + window_size - 1]
+    else:
+        cs = jnp.concatenate(
+            [jnp.zeros_like(changes[..., :1]), jnp.cumsum(changes, axis=-1)],
+            axis=-1,
+        )
+        counts = cs[..., starts + window_size - 1] - cs[..., starts]
     return counts / (window_size / float(sample_rate))
 
 
@@ -378,7 +396,7 @@ def spectral_contrast_custom_bands(
         band = power[..., lo:hi]
         width = hi - lo
         k = max(int(0.2 * width), 1)
-        sorted_band = jnp.sort(band, axis=-1)
+        sorted_band = jnp.sort(band, axis=-1, stable=False)  # see spectral_contrast
         valley = jnp.maximum(jnp.mean(sorted_band[..., :k], axis=-1), _EPS)
         peak = jnp.mean(sorted_band[..., width - k:], axis=-1)
         outs.append(jnp.where(peak > 0, 10.0 * jnp.log10(peak / valley), 0.0))

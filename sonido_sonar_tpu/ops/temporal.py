@@ -40,7 +40,16 @@ _EPS = 1e-10
 def short_time_energy(
     signal: jnp.ndarray, frame_size: int, hop_size: int
 ) -> jnp.ndarray:
-    """Per-frame RMS energy, [..., N] -> [..., T] (energy.go:25-50)."""
+    """Per-frame RMS energy, [..., N] -> [..., T] (energy.go:25-50).
+
+    When hop | frame (the standard overlap geometries) the per-frame
+    sums ride hop-block partial sums instead of materializing the
+    [..., T, W] frames tensor — the interleave reshapes for a 30 s
+    batch-32 clip cost ~9 ms on-chip (music trace, docs/PERF.md); frame
+    boundaries are identical and only the f32 accumulation order
+    differs (~1e-7 rel, length-independent)."""
+    if frame_size % hop_size == 0:
+        return short_time_energy_cumsum(signal, frame_size, hop_size)
     frames = frame_signal(signal, frame_size, hop_size)
     return jnp.sqrt(jnp.mean(frames * frames, axis=-1))
 
@@ -106,7 +115,11 @@ def loudness_range(signal: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
         rms > 0, -0.691 + 10.0 * jnp.log10(jnp.maximum(rms * rms, _EPS)), -70.0
     )
     t = loud.shape[-1]
-    s = jnp.sort(loud, axis=-1)
+    # stable=False on all value-only sorts here: the stable default
+    # pairs values with an s32 iota tie-breaker whose DMA cost exceeds
+    # the sort on [B, T]-sized inputs (docs/PERF.md); sorted VALUES are
+    # identical either way, and nothing below consumes indices.
+    s = jnp.sort(loud, axis=-1, stable=False)
     return s[..., int(0.95 * (t - 1))] - s[..., int(0.10 * (t - 1))]
 
 
@@ -114,7 +127,7 @@ def percentile_range_db(values: jnp.ndarray, lo: float, hi: float) -> jnp.ndarra
     """20 log10(v_hi / v_lo) over sorted values with floor-index
     percentiles (energy.go:199-225)."""
     t = values.shape[-1]
-    s = jnp.sort(values, axis=-1)
+    s = jnp.sort(values, axis=-1, stable=False)
     lo_idx = int(lo * (t - 1))
     hi_idx = int(hi * (t - 1))
     lo_v = jnp.maximum(s[..., lo_idx], _EPS)
@@ -151,7 +164,16 @@ def rms_envelope(
 def peak_envelope(
     signal: jnp.ndarray, window_size: int = 512, hop_size: int = 256
 ) -> jnp.ndarray:
-    """Per-window max |x| (envelope.go ComputePeak)."""
+    """Per-window max |x| (envelope.go ComputePeak). Hop-block maxes
+    when hop | window (bit-exact — max is associative), frames tensor
+    otherwise."""
+    from sonido_sonar_tpu.ops.framing import num_frames
+
+    if window_size % hop_size == 0:
+        t = num_frames(signal.shape[-1], window_size, hop_size)
+        return framed_max_hopblocks(
+            jnp.abs(signal.astype(jnp.float32)), window_size, hop_size, t
+        )
     frames = frame_signal(signal, window_size, hop_size)
     return jnp.max(jnp.abs(frames), axis=-1)
 
@@ -235,7 +257,10 @@ def detect_onsets_from_flux(
 
     def per_row(row):
         # unroll amortizes the per-step sequential overhead (~15 us/row,
-        # PERF.md rule 2) over the ~5k frame steps in the hot music path
+        # PERF.md rule 2) over the ~5k frame steps in the hot music
+        # path. Negative result (measured): unroll=128 is SLOWER than 32
+        # (3.9 -> 4.7 ms per 5k-frame scan) — the wider unrolled body's
+        # stacked-output copies outgrow the saved iteration overhead.
         _, kept = jax.lax.scan(
             scan_fn, -min_frames - 1, (idx, row), unroll=32
         )
@@ -334,7 +359,7 @@ def silence_ratio_percentile(energies: jnp.ndarray) -> jnp.ndarray:
     (speech.go:587-668 — the reference's bubble-sorted percentile
     threshold becomes a sort + index)."""
     t = energies.shape[-1]
-    s = jnp.sort(energies, axis=-1)
+    s = jnp.sort(energies, axis=-1, stable=False)
     thr = s[..., t // 10]
     return jnp.mean((energies <= thr[..., None]).astype(jnp.float32), axis=-1)
 
@@ -350,7 +375,7 @@ def pause_durations(
     threshold, >= 0.1 s (speech.go:585-640). Fixed-size output:
     (durations [..., max_pauses], count [...])."""
     t = energies.shape[-1]
-    s = jnp.sort(energies, axis=-1)
+    s = jnp.sort(energies, axis=-1, stable=False)
     thr = s[..., t // 10][..., None]
     silent = energies <= thr
     frame_time = hop_size / float(sample_rate)
@@ -436,7 +461,7 @@ def onset_positions_from_mask(
     idx = jnp.arange(t, dtype=jnp.int32)
     big = jnp.int32(2**30)
     keyed = jnp.where(mask, idx * hop_size, big)
-    pos = jnp.sort(keyed, axis=-1)[..., :max_onsets]
+    pos = jnp.sort(keyed, axis=-1, stable=False)[..., :max_onsets]
     valid = pos < big
     return jnp.where(valid, pos, 0), valid
 
@@ -454,7 +479,7 @@ def combine_onset_positions(
     allpos = jnp.concatenate(
         [jnp.where(valid1, pos1, big), jnp.where(valid2, pos2, big)], axis=-1
     )
-    allpos = jnp.sort(allpos, axis=-1)
+    allpos = jnp.sort(allpos, axis=-1, stable=False)
 
     def per_row(row):
         def step(last_kept, p):
@@ -468,7 +493,7 @@ def combine_onset_positions(
     kept = jax.vmap(per_row)(flat).reshape(allpos.shape)
     # compact kept positions to the front, ascending
     keyed = jnp.where(kept, allpos, big)
-    pos = jnp.sort(keyed, axis=-1)
+    pos = jnp.sort(keyed, axis=-1, stable=False)
     valid = pos < big
     return jnp.where(valid, pos, 0), valid
 
@@ -686,11 +711,42 @@ def crest_factor_frames(
     signal: jnp.ndarray, frame_size: int, hop_size: int
 ) -> jnp.ndarray:
     """Per-frame peak/RMS (dynamic_range.go:113-140; used by the music
-    extractor)."""
-    frames = frame_signal(signal, frame_size, hop_size)
-    peak = jnp.max(jnp.abs(frames), axis=-1)
-    rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+    extractor). Hop-block max + sum when hop | frame (see
+    short_time_energy), frames tensor otherwise."""
+    from sonido_sonar_tpu.ops.framing import num_frames
+
+    if frame_size % hop_size == 0:
+        x = signal.astype(jnp.float32)
+        t = num_frames(x.shape[-1], frame_size, hop_size)
+        peak = framed_max_hopblocks(jnp.abs(x), frame_size, hop_size, t)
+        rms = jnp.sqrt(
+            jnp.maximum(framed_sum_hopblocks(x * x, frame_size, hop_size, t), 0.0)
+            / frame_size
+        )
+    else:
+        frames = frame_signal(signal, frame_size, hop_size)
+        peak = jnp.max(jnp.abs(frames), axis=-1)
+        rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
     return jnp.where(rms > 0, peak / jnp.maximum(rms, _EPS), 0.0)
+
+
+def framed_max_hopblocks(
+    values: jnp.ndarray, frame_size: int, hop_size: int, t: int
+) -> jnp.ndarray:
+    """Per-frame maxes of `values` at (frame_size, hop_size) without the
+    [T, W] frames tensor — the max-reduction sibling of
+    framed_sum_hopblocks. Bit-exact vs the framed max (max is
+    associative). Requires hop_size | frame_size."""
+    if frame_size % hop_size != 0:
+        raise ValueError("framed_max_hopblocks requires hop_size | frame_size")
+    k = frame_size // hop_size
+    nb = t - 1 + k
+    v = values[..., : nb * hop_size]
+    bm = v.reshape(v.shape[:-1] + (nb, hop_size)).max(axis=-1)
+    tot = bm[..., :t]
+    for i in range(1, k):
+        tot = jnp.maximum(tot, bm[..., i : i + t])
+    return tot
 
 
 def framed_sum_hopblocks(

@@ -479,7 +479,7 @@ def local_noise_floor(
     valid = (pos >= 0) & (pos < f)                        # [F, W]
     gathered = magnitude[..., jnp.clip(pos, 0, f - 1)]    # [..., F, W]
     masked = jnp.where(valid, gathered, jnp.inf)
-    srt = jnp.sort(masked, axis=-1)
+    srt = jnp.sort(masked, axis=-1, stable=False)
     nv = jnp.sum(valid, axis=-1)                          # [F]
     if method == "minimum":
         floor = srt[..., 0]

@@ -86,11 +86,24 @@ def report(trace_dir: str = "/tmp/jaxtrace", steps: int = 2, top: int = 30) -> N
             continue
         names = {i: m.name for i, m in plane.event_metadata.items()}
         agg = collections.Counter()
+        async_agg = collections.Counter()
         for line in plane.lines:
             for ev in line.events:
-                agg[names.get(ev.metadata_id, "?")] += ev.duration_ps
+                name = names.get(ev.metadata_id, "?")
+                # async DMA events span their wait time and overlap
+                # compute — report them separately so they cannot be
+                # misread as serial cost
+                if ("copy-start" in name or "slice-start" in name
+                        or "copy-done" in name or "slice-done" in name
+                        or "async" in name):
+                    async_agg[name] += ev.duration_ps
+                else:
+                    agg[name] += ev.duration_ps
         for name, ps in agg.most_common(top):
-            print(f"{ps / steps / 1e9:9.2f} ms/step  {name[:100]}")
+            print(f"{ps / steps / 1e9:9.2f} ms/step  {name[:110]}")
+        print("---- async (overlapped; duration includes wait) ----")
+        for name, ps in async_agg.most_common(10):
+            print(f"{ps / steps / 1e9:9.2f} ms/step  {name[:110]}")
 
 
 if __name__ == "__main__":

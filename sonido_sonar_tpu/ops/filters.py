@@ -98,7 +98,11 @@ def dc_removal(signal: jnp.ndarray, pole: float = 0.995) -> jnp.ndarray:
     )
     n = diff.shape[-1]
     k = min(1024, n)
-    c = -(-n // k)
+    # chunk count rounded to a sublane multiple: an 8-aligned [C, K]
+    # reshape is a bitcast, a misaligned one relayouts through a serial
+    # copy (~2 ms on 32 x 30 s, traced); pad chunks are all-zero diffs
+    # and their outputs are sliced away
+    c = ((-(-n // k) + 7) // 8) * 8
     pad = c * k - n
     if pad:
         diff = jnp.pad(diff, [(0, 0)] * (diff.ndim - 1) + [(0, pad)])

@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sonido_sonar_tpu.ops.framing import frame_signal
 
@@ -253,6 +254,21 @@ def detect_onsets_from_flux(
         return new_last, ok
 
     t = cand.shape[-1]
+    flat = cand.reshape(-1, t)
+
+    from sonido_sonar_tpu.ops.pallas_onsets import (
+        thin_onsets_available,
+        thin_onsets_pallas,
+    )
+
+    if thin_onsets_available():
+        # whole recurrence in one Mosaic hardware loop — the three
+        # thinning scans in the music step drop ~9.7 ms -> sub-ms
+        # (docs/PERF.md round-3 trace); bit-identical (integer/boolean
+        # recurrence, no accumulation order)
+        mask = thin_onsets_pallas(flat, min_frames).reshape(cand.shape)
+        return mask, jnp.sum(mask, axis=-1)
+
     idx = jnp.arange(t)
 
     def per_row(row):
@@ -266,7 +282,6 @@ def detect_onsets_from_flux(
         )
         return kept
 
-    flat = cand.reshape(-1, t)
     mask = jax.vmap(per_row)(flat).reshape(cand.shape)
     return mask, jnp.sum(mask, axis=-1)
 
@@ -741,8 +756,15 @@ def framed_max_hopblocks(
         raise ValueError("framed_max_hopblocks requires hop_size | frame_size")
     k = frame_size // hop_size
     nb = t - 1 + k
-    v = values[..., : nb * hop_size]
-    bm = v.reshape(v.shape[:-1] + (nb, hop_size)).max(axis=-1)
+    # 8-aligned block count -> bitcast reshape (see framed_sum_hopblocks);
+    # pad blocks are never consumed
+    nb8 = ((nb + 7) // 8) * 8
+    need = nb8 * hop_size
+    n = values.shape[-1]
+    v = values
+    if need > n:
+        v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, need - n)])
+    bm = v[..., :need].reshape(v.shape[:-1] + (nb8, hop_size)).max(axis=-1)
     tot = bm[..., :t]
     for i in range(1, k):
         tot = jnp.maximum(tot, bm[..., i : i + t])
@@ -763,14 +785,65 @@ def framed_sum_hopblocks(
     """
     if frame_size % hop_size != 0:
         raise ValueError("framed_sum_hopblocks requires hop_size | frame_size")
+    if hop_size % 128 != 0:
+        # lane-unfriendly hop (e.g. the loudness 4410): the [nb, hop]
+        # reshape relayouts through a serial copy loop (~16 ms on
+        # 32 x 1.3 M, traced) — prefix sums at the frame boundaries via
+        # lane-aligned row sums are 2.8x cheaper (5.6 ms, same trace)
+        starts = np.arange(t) * hop_size
+        pos = np.concatenate([starts, starts + frame_size])
+        ps = prefix_sums_at(values.astype(jnp.float32), pos)
+        return ps[..., t:] - ps[..., :t]
     k = frame_size // hop_size
     nb = t - 1 + k  # last needed block ends at (t-1)*hop + frame <= N
-    v = values[..., : nb * hop_size].astype(jnp.float32)
-    bs = v.reshape(v.shape[:-1] + (nb, hop_size)).sum(axis=-1)
+    # round the block count up to a sublane multiple: an 8-aligned
+    # [nb, hop] reshape is a layout-preserving bitcast, a misaligned one
+    # is a relayout copy (5.9 -> 4.0 ms per 32 x 30 s STE, traced);
+    # the extra zero blocks are never consumed (tot reads blocks < nb)
+    nb8 = ((nb + 7) // 8) * 8
+    need = nb8 * hop_size
+    n = values.shape[-1]
+    v = values.astype(jnp.float32)
+    if need > n:
+        v = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, need - n)])
+    bs = v[..., :need].reshape(v.shape[:-1] + (nb8, hop_size)).sum(axis=-1)
     tot = bs[..., :t]
     for i in range(1, k):
         tot = tot + bs[..., i : i + t]
     return tot
+
+
+def prefix_sums_at(values: jnp.ndarray, positions: "np.ndarray") -> jnp.ndarray:
+    """Prefix sums of `values` at STATIC `positions` (host ints in
+    [0, N]), [..., N] -> [..., len(positions)], without materializing a
+    full-length cumsum (which lowers to a multi-ms serial loop on a
+    1.3 M axis) and without any layout-hostile reshape.
+
+    Scheme: pad N up to 128-lane rows (free reshape), sum each row, one
+    short cumsum over the ~N/128 row totals, then correct each position
+    into its row with a [P, 128] 0/1-mask matmul against the statically
+    gathered boundary rows. Accumulation is blocked (row-local f32 sums
+    + a row-level prefix), so difference-of-prefix cancellation stays
+    ~1e-5 relative at 30 s clips for >=0.4 s windows — measured 7e-6 on
+    the loudness geometry vs the reshape path.
+    """
+    positions = np.asarray(positions)
+    n = values.shape[-1]
+    r = (n + 127) // 128
+    pad = [(0, 0)] * (values.ndim - 1) + [(0, r * 128 - n)]
+    x2d = jnp.pad(values, pad).reshape(values.shape[:-1] + (r, 128))
+    rows = x2d.sum(axis=-1)                              # [..., R]
+    p = jnp.cumsum(rows, axis=-1)
+    p = jnp.concatenate([jnp.zeros_like(p[..., :1]), p], axis=-1)
+    qs = positions // 128
+    rs = positions % 128
+    # rows at q == r only occur when pos % 128 == 0 (mask all-zero)
+    rowsel = x2d[..., np.minimum(qs, r - 1), :]          # [..., P, 128]
+    masks = jnp.asarray(
+        (np.arange(128)[None, :] < rs[:, None]).astype(np.float32)
+    )
+    part = jnp.einsum("...jk,jk->...j", rowsel, masks)
+    return p[..., qs] + part
 
 
 def short_time_energy_cumsum(
@@ -792,11 +865,13 @@ def short_time_energy_cumsum(
     if frame_size % hop_size == 0:
         tot = framed_sum_hopblocks(sq, frame_size, hop_size, t)
     else:
-        csum = jnp.concatenate(
-            [jnp.zeros_like(sq[..., :1]), jnp.cumsum(sq, axis=-1)], axis=-1
-        )
-        starts = jnp.arange(t) * hop_size
-        tot = csum[..., starts + frame_size] - csum[..., starts]
+        # arbitrary geometry: prefix sums at the 2t frame boundaries
+        # (blocked accumulation — better error AND speed than the
+        # full-length cumsum this replaced, see prefix_sums_at)
+        starts = np.arange(t) * hop_size
+        pos = np.concatenate([starts, starts + frame_size])
+        ps = prefix_sums_at(sq, pos)
+        tot = ps[..., t:] - ps[..., :t]
     return jnp.sqrt(jnp.maximum(tot, 0.0) / frame_size)
 
 

@@ -363,12 +363,22 @@ def batched_music_extractor_features(
     )
 
     # ---- harmonic (music.go:528-592): contiguous frame split -------
+    # frame count padded to a sublane multiple so the reshape is a
+    # bitcast, not a relayout copy (docs/PERF.md); pad frames sliced off
     frame_size = x.shape[-1] // t
-    frames = pre[..., : t * frame_size].reshape(pre.shape[:-1] + (t, frame_size))
+    t8 = ((t + 7) // 8) * 8
+    need = t8 * frame_size
+    pre_pad = jnp.pad(
+        pre, [(0, 0)] * (pre.ndim - 1) + [(0, max(0, need - pre.shape[-1]))]
+    )
+    frames = pre_pad[..., :need].reshape(pre.shape[:-1] + (t8, frame_size))
     pitch, conf, voicing = yin_pitch(
         frames, PitchParams(sample_rate=sample_rate, window_size=frame_size)
     )
-    hnr = hnr_acf(frames, sample_rate, jnp.maximum(pitch, 1.0))
+    pitch, conf, voicing = pitch[..., :t], conf[..., :t], voicing[..., :t]
+    hnr = hnr_acf(frames, sample_rate, jnp.maximum(jnp.pad(
+        pitch, [(0, 0)] * (pitch.ndim - 1) + [(0, t8 - t)]
+    ), 1.0))[..., :t]
     out["pitch"] = pitch
     out["pitch_confidence"] = conf
     out["voicing"] = voicing

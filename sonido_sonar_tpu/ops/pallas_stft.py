@@ -35,7 +35,8 @@ def _cdiv(a: int, b: int) -> int:
 @partial(
     jax.jit,
     static_argnames=(
-        "window_size", "hop_size", "window_type", "interpret", "with_aux"
+        "window_size", "hop_size", "window_type", "interpret", "with_aux",
+        "pre_emph",
     ),
 )
 def stft_magnitude_pallas(
@@ -45,6 +46,7 @@ def stft_magnitude_pallas(
     window_type: WindowType = WindowType.HANN,
     interpret: bool = False,
     with_aux: bool = False,
+    pre_emph: float = 0.0,
 ):
     """[B, N] -> magnitude [B, T, F] with F = window_size//2 + 1.
 
@@ -67,7 +69,7 @@ def stft_magnitude_pallas(
     if signal.ndim == 1:
         res = stft_magnitude_pallas(
             signal[None, :], window_size, hop_size, window_type, interpret,
-            with_aux,
+            with_aux, pre_emph,
         )
         if with_aux:
             return res[0][0], {k: v[0] for k, v in res[1].items()}
@@ -85,12 +87,21 @@ def stft_magnitude_pallas(
     # rounded up so the static reshape below is exact
     slice_len = tile * hop_size + window_size  # >= needed; static
 
+    # pre_emph != 0 fuses y[n] = x[n] - a*x[n-1] (y[0] = x[0],
+    # ops/filters.pre_emphasis) into the kernel: each row gets one
+    # 1024-zero lead block so every tile's DMA window can reach x[-1]
+    # while staying 1024-aligned, and the filter runs on the in-VMEM
+    # slice — the [B, N] pre-emphasized intermediate (a ~3 ms fusion
+    # plus ~4 ms of layout copies at B=128 x 30 s, device trace) never
+    # exists in HBM. Identical up to f32 FMA contraction (~1e-6).
+    lead = 1024 if pre_emph != 0.0 else 0
+
     # pad rows so every tile's DMA window is in bounds, then flatten to
     # 1-D (row stride a multiple of 1024 keeps DMA slices tile-aligned)
     pad_to = (n_tiles - 1) * tile * hop_size + slice_len
     pad_to = _cdiv(max(pad_to, n), 1024) * 1024
-    sig = jnp.pad(signal.astype(jnp.float32), ((0, 0), (0, pad_to - n)))
-    row_stride = pad_to
+    sig = jnp.pad(signal.astype(jnp.float32), ((0, 0), (lead, pad_to - n)))
+    row_stride = pad_to + lead
     sig = sig.reshape(b * row_stride)
 
     m_dft = jnp.asarray(_windowed_dft_matrix(window_type, window_size))  # [W, 2F]
@@ -119,15 +130,20 @@ def stft_magnitude_pallas(
         i = pl.program_id(1)   # tile index
         start = bi * row_stride + i * tile * hop_size
         start = pl.multiple_of(start, 1024)
-        # DMA the signal slice HBM -> VMEM
+        # DMA the signal slice HBM -> VMEM (the lead block, when
+        # present, carries the previous sample for the first frame)
         dma = pltpu.make_async_copy(
-            sig_ref.at[pl.ds(start, slice_len)],
+            sig_ref.at[pl.ds(start, slice_len + lead)],
             sig_vmem,
             sem,
         )
         dma.start()
         dma.wait()
-        s = sig_vmem[:]
+        if lead:
+            raw = sig_vmem[:]
+            s = raw[lead:] - pre_emph * raw[lead - 1 : lead - 1 + slice_len]
+        else:
+            s = sig_vmem[:]
 
         # build [tile, W] frames from k shifted contiguous reshapes:
         # frames[j] = s[j*hop : j*hop + W]; rows j with j % k == r come
@@ -250,7 +266,7 @@ def stft_magnitude_pallas(
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((slice_len,), jnp.float32),
+            pltpu.VMEM((slice_len + lead,), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

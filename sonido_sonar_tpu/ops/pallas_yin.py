@@ -105,8 +105,13 @@ def _bf16_split(x):
     return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
 
-def _yin_pallas_common(signal, window_size, hop_size):
-    """Shared geometry + flattened/padded signal prep."""
+def _yin_pallas_common(signal, window_size, hop_size, lead=0):
+    """Shared geometry + flattened/padded signal prep.
+
+    lead=1024 prepends one aligned zero block per row so the kernel can
+    apply pre-emphasis in VMEM (it needs x[-1] for each tile's first
+    sample; the zero lead makes y[0] = x[0], matching
+    ops/filters.pre_emphasis)."""
     from sonido_sonar_tpu.ops.framing import num_frames
 
     w = window_size
@@ -118,8 +123,8 @@ def _yin_pallas_common(signal, window_size, hop_size):
     slice_len = tile * hop_size + w
     pad_to = (n_tiles - 1) * tile * hop_size + slice_len
     pad_to = _cdiv(max(pad_to, n), 1024) * 1024
-    sig = jnp.pad(signal.astype(jnp.float32), ((0, 0), (0, pad_to - n)))
-    row_stride = pad_to
+    sig = jnp.pad(signal.astype(jnp.float32), ((0, 0), (lead, pad_to - n)))
+    row_stride = pad_to + lead
     return sig.reshape(b * row_stride), b, t, n_tiles, slice_len, row_stride
 
 
@@ -222,7 +227,7 @@ def yin_difference_pallas(
     jax.jit,
     static_argnames=(
         "window_size", "hop_size", "sample_rate", "min_freq", "max_freq",
-        "yin_threshold", "interpret", "with_period_amp",
+        "yin_threshold", "interpret", "with_period_amp", "pre_emph",
     ),
 )
 def yin_pitch_pallas(
@@ -235,6 +240,7 @@ def yin_pitch_pallas(
     yin_threshold: float = 0.15,
     interpret: bool = False,
     with_period_amp: bool = False,
+    pre_emph: float = 0.0,
 ):
     """Full fused YIN: [B, N] -> (pitch, confidence, voicing) each [B, T].
 
@@ -251,14 +257,16 @@ def yin_pitch_pallas(
         res = yin_pitch_pallas(
             signal[None, :], window_size, hop_size, sample_rate,
             min_freq, max_freq, yin_threshold, interpret, with_period_amp,
+            pre_emph,
         )
         return tuple(r[0] for r in res)
     w = window_size
     h = w // 2
     f_bins = w // 2 + 1
     k = w // hop_size
+    lead = 1024 if pre_emph != 0.0 else 0
     sig, b, t, n_tiles, slice_len, row_stride = _yin_pallas_common(
-        signal, w, hop_size
+        signal, w, hop_size, lead
     )
     tile = _FRAME_TILE
     mx_hi, mx_lo, minv_hi, minv_lo, band, tri = _yin_kernel_mats(w)
@@ -272,11 +280,17 @@ def yin_pitch_pallas(
         start = bi * row_stride + i * tile * hop_size
         start = pl.multiple_of(start, 1024)
         dma = pltpu.make_async_copy(
-            sig_ref.at[pl.ds(start, slice_len)], sig_vmem, sem
+            sig_ref.at[pl.ds(start, slice_len + lead)], sig_vmem, sem
         )
         dma.start()
         dma.wait()
-        s = sig_vmem[:]
+        if lead:
+            # fused pre-emphasis on the in-VMEM slice (see
+            # _yin_pallas_common): y[n] = x[n] - a*x[n-1], zero lead
+            raw = sig_vmem[:]
+            s = raw[lead:] - pre_emph * raw[lead - 1 : lead - 1 + slice_len]
+        else:
+            s = sig_vmem[:]
         per = tile // k
         parts = []
         for r in range(k):
@@ -365,7 +379,7 @@ def yin_pitch_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile, n_out), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((slice_len,), jnp.float32),
+            pltpu.VMEM((slice_len + lead,), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

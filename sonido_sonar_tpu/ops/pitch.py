@@ -217,6 +217,7 @@ def yin_pitch_from_signal(
     frame_size: int,
     hop_size: int,
     params: PitchParams,
+    pre_emph: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Frame-wise YIN straight from PCM [..., N] -> each [..., T].
 
@@ -225,6 +226,11 @@ def yin_pitch_from_signal(
     never exists in HBM — ops/pallas_yin.py); elsewhere it frames and
     runs the XLA path. Same (pitch, confidence, voicing) contract as
     yin_pitch.
+
+    pre_emph != 0 applies ops/filters.pre_emphasis to the signal first —
+    fused into the Pallas kernel on TPU (the pre-emphasized [B, N]
+    intermediate never exists in HBM), an explicit host op elsewhere.
+    Identical up to f32 FMA contraction either way.
     """
     from sonido_sonar_tpu.ops.framing import frame_signal
     from sonido_sonar_tpu.ops.pallas_yin import (
@@ -236,7 +242,12 @@ def yin_pitch_from_signal(
         return yin_pitch_pallas(
             signal, frame_size, hop_size, params.sample_rate,
             params.min_freq, params.max_freq, params.yin_threshold,
+            pre_emph=pre_emph,
         )
+    if pre_emph != 0.0:
+        from sonido_sonar_tpu.ops.filters import pre_emphasis
+
+        signal = pre_emphasis(signal.astype(jnp.float32), pre_emph)
     frames = frame_signal(signal, frame_size, hop_size)
     return yin_pitch(frames, params)
 

@@ -113,3 +113,30 @@ def test_bf16x3_dft_precision_on_tpu():
     mag_k = np.asarray(stft_magnitude_pallas(x, 1024, 256, WindowType.HANN))
     mag_r = np.asarray(stft(x, 1024, 256, WindowType.HANN, 44100).magnitude)
     assert np.abs(mag_k - mag_r).max() / mag_r.max() < 1e-5
+
+
+def test_fused_pre_emphasis_interpret():
+    """pre_emph fuses ops/filters.pre_emphasis into the kernel: output
+    equals running the host filter first up to f32 FMA contraction
+    (zero lead block makes y[0] = x[0])."""
+    from sonido_sonar_tpu.ops.filters import pre_emphasis
+
+    x = (sine(330, 1.0, SR) + white_noise(1.0, SR, 0.05)).astype(np.float32)
+    xb = jnp.asarray(np.stack([x, x * 0.5]))
+    ref = stft_magnitude_pallas(
+        pre_emphasis(xb, 0.97), 1024, 256, interpret=True
+    )
+    got = stft_magnitude_pallas(xb, 1024, 256, interpret=True, pre_emph=0.97)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4)
+    # aux epilogue sees the pre-emphasized frames too
+    _, aux_ref = stft_magnitude_pallas(
+        pre_emphasis(xb, 0.97), 1024, 256, interpret=True, with_aux=True
+    )
+    _, aux_got = stft_magnitude_pallas(
+        xb, 1024, 256, interpret=True, with_aux=True, pre_emph=0.97
+    )
+    for key in aux_ref:
+        np.testing.assert_allclose(
+            np.asarray(aux_got[key]), np.asarray(aux_ref[key]), rtol=1e-5,
+            atol=1e-4, err_msg=key,
+        )

@@ -144,3 +144,21 @@ def test_bf16x3_yin_precision_on_tpu():
     both = (pk > 0) & (pr > 0)
     assert both.mean() > 0.9
     np.testing.assert_allclose(pk[both], pr[both], rtol=1e-3)
+
+
+def test_fused_pre_emphasis_interpret():
+    """yin_pitch_pallas(pre_emph=a) == yin_pitch_pallas(pre_emphasis(x, a))."""
+    from sonido_sonar_tpu.ops.filters import pre_emphasis
+    from sonido_sonar_tpu.ops.pallas_yin import yin_pitch_pallas
+
+    rng = np.random.default_rng(7)
+    x = (sine(220, 1.0, SR) + 0.02 * rng.standard_normal(SR)).astype(np.float32)
+    xb = jnp.asarray(np.stack([x, x * 0.5]))
+    ref = yin_pitch_pallas(
+        pre_emphasis(xb, 0.97), 1024, 512, SR, 50.0, 5000.0, interpret=True
+    )
+    got = yin_pitch_pallas(
+        xb, 1024, 512, SR, 50.0, 5000.0, interpret=True, pre_emph=0.97
+    )
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)

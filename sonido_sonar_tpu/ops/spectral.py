@@ -33,6 +33,10 @@ def _rolloff_tri(n: int) -> np.ndarray:
     return out
 
 _EPS = 1e-10
+# XLA sublane-sort width above which the lowering falls off its
+# in-register path (28 vregs; device-measured cliff between 224 and 256
+# on v5e) — spectral_contrast chunks wider bands (see below).
+_SORT_CLIFF = 224
 
 
 def _freq_bins(num_bins: int, sample_rate: int) -> np.ndarray:
@@ -193,39 +197,73 @@ def spectral_contrast(
     """
     import jax
 
+    if magnitude.ndim == 1:
+        return spectral_contrast(magnitude[None], sample_rate, num_bands)[0]
+
     edges = contrast_band_edges(num_bands, magnitude.shape[-1], sample_rate)
-    power = magnitude * magnitude
+    # Sort strategy (v5e device traces, B=128 x 30 s): three independent
+    # effects, all needed at once —
+    #   1. the sort must run along SUBLANES: transpose the power
+    #      spectrum ONCE so every band slice is already sublane-major
+    #      (sorting the natural [.., T, F] layout makes XLA bracket
+    #      every band sort with transpose copies, ~1-1.7 ms each);
+    #   2. the comparator must be approx_max_k's raw compare — jnp.sort
+    #      re-derives a total-order integer key inside the comparator on
+    #      every compare-exchange (58.9 vs 31.3 ms on the widest band);
+    #   3. widths must stay <= 224 sublanes (28 vregs): the lowering
+    #      falls off its in-register path above that (~1-2 ms through
+    #      224, 16 ms at 256, 32 ms at 278). Wider bands sort in
+    #      chunks and merge only the top/bottom-k candidates — the
+    #      global top-k multiset is contained in the union of per-chunk
+    #      top-k, and the merge re-sort emits it in full-sort order.
+    p_t = jnp.swapaxes(magnitude * magnitude, -1, -2)  # [.., F, T]
+    axis = p_t.ndim - 2
+
+    def _desc(x, kk):
+        return jax.lax.approx_max_k(
+            x, kk, reduction_dimension=axis, recall_target=1.0
+        )[0]
+
     outs = []
     for b in range(num_bands):
         lo, hi = edges[b], min(edges[b + 1], magnitude.shape[-1])
         if lo >= hi:
             outs.append(jnp.zeros(magnitude.shape[:-1], magnitude.dtype))
             continue
-        band = power[..., lo:hi]
+        band = p_t[..., lo:hi, :]
         width = hi - lo
         k = max(int(0.2 * width), 1)
-        if width >= 64:
-            # ONE full descending sort serves both ends. Device traces
-            # showed approx_max_k + approx_min_k at recall 1.0 EACH
-            # lower to a full sort of the band (two 31 ms sorts of the
-            # widest band per step); approx_max_k with k=width is the
-            # same exact sort once, in the efficient sublane layout
-            # (plain jnp.sort on the lane axis measured 28 ms slower).
-            sorted_desc = jax.lax.approx_max_k(
-                band, width, recall_target=1.0
-            )[0]
-            peak = jnp.mean(sorted_desc[..., :k], axis=-1)
-            valley = jnp.mean(sorted_desc[..., width - k :], axis=-1)
+        if width > _SORT_CLIFF:
+            n_chunks = -(-width // _SORT_CLIFF)
+            step = -(-width // n_chunks)
+            tops, bots = [], []
+            for c0 in range(0, width, step):
+                cw = min(step, width - c0)
+                kk = min(k, cw)
+                s = _desc(band[..., c0 : c0 + cw, :], cw)
+                tops.append(s[..., :kk, :])
+                bots.append(s[..., cw - kk :, :])
+            top = _desc(jnp.concatenate(tops, axis=axis), k)
+            bot_cand = jnp.concatenate(bots, axis=axis)
+            m = bot_cand.shape[axis]
+            bot = _desc(bot_cand, m)[..., m - k :, :]
+            peak = jnp.mean(top, axis=axis)
+            valley = jnp.mean(bot, axis=axis)
+        elif width >= 64:
+            # ONE full descending sort serves both ends (approx_max_k +
+            # approx_min_k at recall 1.0 EACH lower to a full sort).
+            sorted_desc = _desc(band, width)
+            peak = jnp.mean(sorted_desc[..., :k, :], axis=axis)
+            valley = jnp.mean(sorted_desc[..., width - k :, :], axis=axis)
         else:
-            # stable=False: jnp.sort's default stable lowering pairs the
-            # values with an s32 iota tie-breaker — for a [B, T, w] band
-            # that iota plus its batch-chunk DMA slices cost more than
-            # the sort itself (music-extractor trace). Only the ORDER of
-            # equal elements differs; the sorted values, and so the
-            # top/bottom-k means, are bit-identical.
-            sorted_band = jnp.sort(band, axis=-1, stable=False)
-            valley = jnp.mean(sorted_band[..., :k], axis=-1)
-            peak = jnp.mean(sorted_band[..., width - k :], axis=-1)
+            # stable=False: the default stable lowering pairs the values
+            # with an s32 iota tie-breaker that costs more than the sort
+            # itself at these widths. Only the ORDER of equal elements
+            # differs; the sorted values, and so the top/bottom-k means,
+            # are identical.
+            sorted_band = jnp.sort(band, axis=axis, stable=False)
+            valley = jnp.mean(sorted_band[..., :k, :], axis=axis)
+            peak = jnp.mean(sorted_band[..., width - k :, :], axis=axis)
         valley = jnp.maximum(valley, _EPS)
         c = jnp.where(peak > 0, 10.0 * jnp.log10(peak / valley), 0.0)
         outs.append(c)

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sonido_sonar_tpu.config.config import WindowType
 
-_FRAME_TILE = 128  # frames per grid step
+_FRAME_TILE = 256  # frames per grid step
 
 
 def _cdiv(a: int, b: int) -> int:

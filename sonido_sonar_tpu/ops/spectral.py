@@ -224,6 +224,46 @@ def spectral_contrast(
             x, kk, reduction_dimension=axis, recall_target=1.0
         )[0]
 
+    def _chunks(width):
+        n = -(-width // _SORT_CLIFF)
+        step = -(-width // n)
+        return [(c0, min(step, width - c0)) for c0 in range(0, width, step)]
+
+    def _topk_rec(x, k):
+        """Top-k along `axis` of an arbitrarily wide sublane sort input,
+        never sorting more than _SORT_CLIFF sublanes at once: per-chunk
+        top-k candidates, then recurse on the (smaller) concatenation.
+        The global top-k multiset is contained in the union of per-chunk
+        top-k, so the result is exact. When k itself reaches the cliff
+        chunking cannot shrink the candidate set (kk == cw) — fall back
+        to one wide sort (ADVICE r3 #2)."""
+        w = x.shape[axis]
+        chunks = _chunks(w)
+        if w <= _SORT_CLIFF or sum(min(k, cw) for _, cw in chunks) >= w:
+            # base case, or chunking cannot shrink the candidate set
+            # (k ~ chunk width): one wide sort is the only exact option
+            return _desc(x, w)[..., :k, :]
+        cands = [
+            _desc(x[..., c0 : c0 + cw, :], cw)[..., : min(k, cw), :]
+            for c0, cw in chunks
+        ]
+        return _topk_rec(jnp.concatenate(cands, axis=axis), k)
+
+    def _botk_rec(x, k):
+        """Bottom-k analogue of _topk_rec (order within the k is
+        irrelevant — only the mean is consumed)."""
+        w = x.shape[axis]
+        chunks = _chunks(w)
+        if w <= _SORT_CLIFF or sum(min(k, cw) for _, cw in chunks) >= w:
+            s = _desc(x, w)
+            return s[..., w - k :, :]
+        cands = []
+        for c0, cw in chunks:
+            kk = min(k, cw)
+            s = _desc(x[..., c0 : c0 + cw, :], cw)
+            cands.append(s[..., cw - kk :, :])
+        return _botk_rec(jnp.concatenate(cands, axis=axis), k)
+
     outs = []
     for b in range(num_bands):
         lo, hi = edges[b], min(edges[b + 1], magnitude.shape[-1])
@@ -234,19 +274,18 @@ def spectral_contrast(
         width = hi - lo
         k = max(int(0.2 * width), 1)
         if width > _SORT_CLIFF:
-            n_chunks = -(-width // _SORT_CLIFF)
-            step = -(-width // n_chunks)
+            # one full sort per first-level chunk serves BOTH ends; the
+            # candidate merges then recurse so no sort (merge included)
+            # ever exceeds the cliff (ADVICE r3 #2: at F>=1025 the
+            # widest band's merge input itself passed 224 sublanes)
             tops, bots = [], []
-            for c0 in range(0, width, step):
-                cw = min(step, width - c0)
+            for c0, cw in _chunks(width):
                 kk = min(k, cw)
                 s = _desc(band[..., c0 : c0 + cw, :], cw)
                 tops.append(s[..., :kk, :])
                 bots.append(s[..., cw - kk :, :])
-            top = _desc(jnp.concatenate(tops, axis=axis), k)
-            bot_cand = jnp.concatenate(bots, axis=axis)
-            m = bot_cand.shape[axis]
-            bot = _desc(bot_cand, m)[..., m - k :, :]
+            top = _topk_rec(jnp.concatenate(tops, axis=axis), k)
+            bot = _botk_rec(jnp.concatenate(bots, axis=axis), k)
             peak = jnp.mean(top, axis=axis)
             valley = jnp.mean(bot, axis=axis)
         elif width >= 64:

@@ -51,7 +51,9 @@ _EPS = 1e-10
 # see this. We measure the strongest peak more than `min_sep` bins away
 # and subtract up to _AMBIGUITY_CAP from the correlation confidence —
 # enough to push a comb-ambiguous answer below every per-content accept
-# threshold (0.55-0.75, config/config.py) unless PCM-level verification
+# threshold (0.4-0.7, config/config.py alignment_config_for_content;
+# tests/test_eval_gates.py derives its gate from that table) unless
+# PCM-level verification
 # (extractors/alignment.py verify_candidate_offsets) confirms the peak.
 # Empirically (eval_accuracy.py --full): beat-comb cases score
 # ambiguity 0.91-0.98, unambiguous tone/speech score <= 0.41.

@@ -20,10 +20,18 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-# min accept threshold across per-content presets (config/config.py
-# min_confidence 0.55-0.75): an unverified ambiguous answer must fall
-# below even the laxest gate
-_MIN_ACCEPT = 0.55
+# min accept threshold across per-content presets, DERIVED from the
+# config table (VERDICT r3 item #8): an unverified ambiguous answer
+# must fall below even the laxest per-content gate, and a deliberate
+# preset change flips this gate instead of silently weakening it.
+from sonido_sonar_tpu.config.config import (
+    ContentType,
+    alignment_config_for_content,
+)
+
+_MIN_ACCEPT = min(
+    alignment_config_for_content(ct).min_confidence for ct in ContentType
+)
 
 
 @pytest.fixture(scope="module")

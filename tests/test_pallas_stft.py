@@ -121,8 +121,11 @@ def test_fused_pre_emphasis_interpret():
     (zero lead block makes y[0] = x[0])."""
     from sonido_sonar_tpu.ops.filters import pre_emphasis
 
-    x = (sine(330, 1.0, SR) + white_noise(1.0, SR, 0.05)).astype(np.float32)
-    xb = jnp.asarray(np.stack([x, x * 0.5]))
+    # 4 s / batch 3 so the grid has >= 2 frame tiles (tile 256 at hop
+    # 256): tile boundaries exercise the raw[lead-1] previous-sample
+    # read and the row_stride = pad_to + lead row shifts (ADVICE r3 #1)
+    x = (sine(330, 4.0, SR) + white_noise(4.0, SR, 0.05)).astype(np.float32)
+    xb = jnp.asarray(np.stack([x, x * 0.5, x[::-1].copy()]))
     ref = stft_magnitude_pallas(
         pre_emphasis(xb, 0.97), 1024, 256, interpret=True
     )

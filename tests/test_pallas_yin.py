@@ -152,8 +152,13 @@ def test_fused_pre_emphasis_interpret():
     from sonido_sonar_tpu.ops.pallas_yin import yin_pitch_pallas
 
     rng = np.random.default_rng(7)
-    x = (sine(220, 1.0, SR) + 0.02 * rng.standard_normal(SR)).astype(np.float32)
-    xb = jnp.asarray(np.stack([x, x * 0.5]))
+    # 4 s / batch 3 so the grid has >= 2 frame tiles (tile 64 at hop
+    # 512): tile boundaries exercise the raw[lead-1] previous-sample
+    # read and the row_stride = pad_to + lead row shifts (ADVICE r3 #1)
+    x = (sine(220, 4.0, SR) + 0.02 * rng.standard_normal(4 * SR)).astype(
+        np.float32
+    )
+    xb = jnp.asarray(np.stack([x, x * 0.5, x[::-1].copy()]))
     ref = yin_pitch_pallas(
         pre_emphasis(xb, 0.97), 1024, 512, SR, 50.0, 5000.0, interpret=True
     )

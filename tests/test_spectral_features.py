@@ -136,3 +136,26 @@ def test_vad_and_segments():
 
     z = np.asarray(zcr_with_threshold(frames, SR, 0.01))
     assert (z >= 0).all()
+
+
+def test_contrast_chunked_merge_exact_wide_spectra():
+    """The chunked sort path (band width > _SORT_CLIFF) must be exact at
+    EVERY window size, including F >= 1025 where the candidate merge
+    itself exceeds the cliff and recurses (ADVICE r3 #2). Oracle: means
+    of a brute-force numpy full sort per band."""
+    rng = np.random.default_rng(7)
+    for f_bins in (1025, 2049):
+        mag = jnp.asarray(
+            rng.standard_normal((5, f_bins)).astype(np.float32) ** 2
+        )
+        got = np.asarray(spectral_contrast(mag, SR, 6))
+        p = np.asarray(mag, dtype=np.float64) ** 2
+        edges = contrast_band_edges(6, f_bins, SR)
+        for b in range(6):
+            lo, hi = edges[b], min(edges[b + 1], f_bins)
+            band = np.sort(p[:, lo:hi], axis=-1)
+            k = max(int(0.2 * (hi - lo)), 1)
+            valley = np.maximum(band[:, :k].mean(axis=-1), 1e-10)
+            peak = band[:, -k:].mean(axis=-1)
+            want = np.where(peak > 0, 10.0 * np.log10(peak / valley), 0.0)
+            np.testing.assert_allclose(got[:, b], want, rtol=2e-4)

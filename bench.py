@@ -368,6 +368,72 @@ def main() -> None:
         file=sys.stderr,
      flush=True)
 
+    # secondary: PUBLIC-API batched generation end-to-end (VERDICT r3
+    # item #1): content detect (one device program + [B, 9] fetch) ->
+    # per-group single-program extraction -> per-clip fingerprint
+    # assembly -> device comparator packing, fenced on the [B, D]
+    # corpus-ready matrix. PCM rows are pre-uploaded device arrays —
+    # the same methodology as the headline loop (production pipelines
+    # overlap decode+upload with compute; through the remote tunnel an
+    # in-loop upload would swamp the measurement).
+    from sonido_sonar_tpu.config.config import FeatureConfig, FingerprintConfig
+    from sonido_sonar_tpu.fingerprint import FingerprintGenerator
+    from sonido_sonar_tpu.io.audio import AudioData
+
+    gen = FingerprintGenerator(
+        FingerprintConfig(
+            feature_config=FeatureConfig(
+                sample_rate=sr, window_size=1024, hop_size=256
+            )
+        )
+    )
+    audio_sets = [
+        [AudioData(pcm=x_dev[i], sample_rate=sr) for i in range(batch)]
+        for x_dev in inputs
+    ]
+
+    def gb_step(audios):
+        fb = gen.generate_fingerprints_batch(audios, materialize=False)
+        return fb.comparator_matrix(13)
+
+    float(gb_step(audio_sets[0]).sum())  # warmup/compile
+    gb_iters = 4
+    inflight = collections.deque()
+    t0 = time.perf_counter()
+    for i in range(gb_iters):
+        inflight.append(gb_step(audio_sets[i % len(audio_sets)]))
+        if len(inflight) > 1:
+            float(inflight.popleft().sum())
+    while inflight:
+        float(inflight.popleft().sum())
+    t_gb = (time.perf_counter() - t0) / gb_iters
+    gb_ahh = batch * clip_seconds / t_gb
+
+    # reference point: the bare extractor program this batch routes to
+    # (the >=85%-of-raw orchestration-overhead target, VERDICT r3 #1)
+    ct0 = gen._detect_content_types_batch(audio_sets[0], inputs[0])[0]
+    fc0 = gen._feature_config_for(ct0, sr)
+    ext0 = gen.extractor_factory.create_extractor(ct0, fc0)
+    bare_step = lambda x: ext0.extract_features_from_pcm(x, sr)
+    fence = lambda f: float(f.spectral_features.spectral_centroid.sum())
+    fence(bare_step(inputs[0]))  # warmup (cache shared with gb_step)
+    inflight = collections.deque()
+    t0 = time.perf_counter()
+    for i in range(gb_iters):
+        inflight.append(bare_step(inputs[i % len(inputs)]))
+        if len(inflight) > 1:
+            fence(inflight.popleft())
+    while inflight:
+        fence(inflight.popleft())
+    t_bare = (time.perf_counter() - t0) / gb_iters
+    print(
+        f"[bench] generate-batch: {gb_ahh:.0f} audio-h/h/chip "
+        f"({t_gb*1000:.1f} ms per {batch}x{clip_seconds}s via public API, "
+        f"content={ct0.value}; bare extractor program {t_bare*1000:.1f} ms "
+        f"-> public/bare = {t_bare/t_gb*100:.0f}%)",
+        file=sys.stderr, flush=True,
+    )
+
     # secondary: device-side batched comparator throughput (VERDICT r1
     # item #2): one query scored against a large packed corpus
     from sonido_sonar_tpu.fingerprint.device_compare import (

@@ -137,6 +137,31 @@ class MusicFeatureExtractor:
         )
         return features
 
+    def extract_features_from_pcm(
+        self, pcm: jnp.ndarray, sample_rate: int
+    ) -> ExtractedFeatures:
+        """extract_features recomposed as ONE jitted program: the
+        faithful music recomposition already exists as
+        parallel.pipeline.batched_music_extractor_features (parity
+        asserted in tests/test_parallel.py); this assembles its dict
+        into the ExtractedFeatures schema. Used by FingerprintGenerator
+        for both the per-clip and the batched path."""
+        from sonido_sonar_tpu.extractors.programs import (
+            assemble_music_features,
+        )
+        from sonido_sonar_tpu.parallel.pipeline import (
+            batched_music_extractor_features,
+        )
+
+        cfg = self.config
+        out = batched_music_extractor_features(
+            pcm,
+            sample_rate=sample_rate,
+            window_size=cfg.window_size,
+            hop_size=cfg.hop_size,
+        )
+        return assemble_music_features(out, cfg, sample_rate)
+
     # ------------------------------------------------------------------
     def _extract_spectral(self, spec: STFTResult, pcm, sr) -> SpectralFeatures:
         """music.go:261-302 (6 contrast bands at :111)."""

@@ -137,6 +137,36 @@ class SpeechFeatureExtractor:
         )
         return features
 
+    def extract_features_from_pcm(
+        self, pcm: jnp.ndarray, sample_rate: int
+    ) -> ExtractedFeatures:
+        """extract_features recomposed as ONE jitted program riding the
+        fused Pallas STFT (extractors/programs.py) — same math, same
+        gates, no per-op dispatch overhead and no [B, T, W] frames
+        tensor. Used by FingerprintGenerator for both the per-clip and
+        the batched path; `extract_features` remains the composition
+        oracle (parity asserted in tests/test_extractor_programs.py)."""
+        from sonido_sonar_tpu.extractors.programs import (
+            assemble_speech_features,
+            speech_extractor_program,
+        )
+
+        cfg = self.config
+        out = speech_extractor_program(
+            pcm,
+            sample_rate=sample_rate,
+            window_size=cfg.window_size,
+            hop_size=cfg.hop_size,
+            window_type=cfg.window_type,
+            mfcc_coefficients=cfg.mfcc_coefficients,
+            enable_mfcc=cfg.enable_mfcc,
+            enable_speech=cfg.enable_speech_features,
+            enable_temporal=cfg.enable_temporal_features,
+            enable_contrast=cfg.enable_spectral_contrast,
+            contrast_bands=cfg.contrast_bands,
+        )
+        return assemble_speech_features(out, cfg, self.is_news, sample_rate)
+
     # ------------------------------------------------------------------
     def _extract_spectral(
         self, spec: STFTResult, pcm: jnp.ndarray, sr: int

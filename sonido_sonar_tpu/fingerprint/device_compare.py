@@ -177,6 +177,161 @@ def comparator_matrix(
     )
 
 
+@partial(jax.jit, static_argnames=("num_mfcc_coeffs",))
+def _pack_batch_jit(leaves: Dict[str, jnp.ndarray], num_mfcc_coeffs: int):
+    """[B, ...] feature leaves -> [B, D] packed stats, one program.
+
+    Presence is static (key membership in `leaves` — the jit cache key
+    includes the dict's pytree structure), so absent features cost
+    nothing and their slots stay zero, exactly like the host packer."""
+    some = next(v for v in leaves.values() if v.ndim >= 1)
+    b = some.shape[0]
+    D = layout_size(num_mfcc_coeffs)
+    off = _offsets(num_mfcc_coeffs)
+    zero = jnp.zeros((b,), jnp.float32)
+    one = jnp.ones((b,), jnp.float32)
+    cols: List[jnp.ndarray] = [zero] * D
+
+    def seq(x):
+        """(mean, sample std) over the trailing (time) axis of [B, T]."""
+        t = x.shape[-1]
+        m = jnp.mean(x, axis=-1)
+        if t > 1:
+            s = jnp.sqrt(jnp.var(x, axis=-1, ddof=1))
+        else:
+            s = zero
+        return m.astype(jnp.float32), s.astype(jnp.float32)
+
+    if "mfcc" in leaves:
+        mfcc = leaves["mfcc"]  # [B, T, C]
+        cols[0] = one
+        means = jnp.mean(mfcc, axis=-2)
+        if mfcc.shape[-2] > 1:
+            stds = jnp.sqrt(jnp.var(mfcc, axis=-2, ddof=1))
+        else:
+            stds = jnp.zeros_like(means)
+        for c in range(num_mfcc_coeffs):
+            cols[off["mfcc"] + c] = means[:, c].astype(jnp.float32)
+            cols[off["mfcc"] + num_mfcc_coeffs + c] = stds[:, c].astype(
+                jnp.float32
+            )
+
+    if "spectral_present" in leaves:
+        cols[1] = one
+        base = off["spectral"]
+        for i, key in enumerate(("sp_centroid", "sp_rolloff", "sp_flux")):
+            if key in leaves:
+                m, s = seq(leaves[key])
+                cols[base + 2 * i] = m
+                cols[base + 2 * i + 1] = s
+                cols[base + 6 + i] = one
+
+    if "chroma" in leaves:
+        cols[2] = one
+        ch_mean = jnp.mean(leaves["chroma"], axis=-2)  # [B, 12]
+        for i in range(12):
+            cols[off["chroma"] + i] = ch_mean[:, i].astype(jnp.float32)
+
+    if "temporal_present" in leaves:
+        cols[3] = one
+        base = off["temporal"]
+        for j, key in enumerate(("t_dynamic_range", "t_silence", "t_onset")):
+            if key in leaves:
+                cols[base + j] = leaves[key].astype(jnp.float32)
+        if "t_rms" in leaves:
+            m, s = seq(leaves["t_rms"])
+            cols[base + 3], cols[base + 4], cols[base + 5] = m, s, one
+
+    if "speech_present" in leaves:
+        cols[4] = one
+        base = off["speech"]
+        if "s_rate" in leaves:
+            cols[base + 0] = leaves["s_rate"].astype(jnp.float32)
+        if "s_vtl" in leaves:
+            cols[base + 1] = leaves["s_vtl"].astype(jnp.float32)
+        if "s_voicing" in leaves:
+            m, s = seq(leaves["s_voicing"])
+            cols[base + 2], cols[base + 3], cols[base + 4] = m, s, one
+
+    if "harmonic_present" in leaves:
+        cols[5] = one
+        base = off["harmonic"]
+        if "h_hr" in leaves:
+            m, s = seq(leaves["h_hr"])
+            cols[base + 0], cols[base + 1], cols[base + 2] = m, s, one
+        if "h_pitch" in leaves:
+            m, s = seq(leaves["h_pitch"])
+            cols[base + 3], cols[base + 4], cols[base + 5] = m, s, one
+
+    return jnp.stack(cols, axis=-1)
+
+
+def pack_comparator_stats_batch(features, num_mfcc_coeffs: int = 13):
+    """Device-side pack_comparator_stats over a batched ExtractedFeatures
+    pytree ([B, ...] leaves) -> [B, D] float32 ON DEVICE, one jitted
+    program — the corpus-ready path for generate_fingerprints_batch
+    (features never leave the device; only this small matrix, or
+    nothing, is fetched).
+
+    Parity: device float32 vs the host packer's float64 (~1e-6 relative,
+    the device-comparator contract), asserted in
+    tests/test_generate_batch.py. Sequence stats reduce over the
+    trailing time axis, matching the host's per-clip ravel for the 1-D
+    series this layout packs.
+    """
+    f = features
+    leaves: Dict[str, jnp.ndarray] = {}
+    if f.mfcc is not None and f.mfcc.size > 0:
+        if f.mfcc.shape[-1] != num_mfcc_coeffs:
+            raise ValueError(
+                f"batch has {f.mfcc.shape[-1]} MFCC coefficients, layout "
+                f"expects {num_mfcc_coeffs}"
+            )
+        leaves["mfcc"] = f.mfcc
+    sf = f.spectral_features
+    if sf is not None:
+        leaves["spectral_present"] = jnp.zeros((), jnp.float32)
+        for key, series in (
+            ("sp_centroid", sf.spectral_centroid),
+            ("sp_rolloff", sf.spectral_rolloff),
+            ("sp_flux", sf.spectral_flux),
+        ):
+            if series is not None and series.size > 0:
+                leaves[key] = series
+    if f.chroma_features is not None and f.chroma_features.size > 0:
+        leaves["chroma"] = f.chroma_features
+    tf = f.temporal_features
+    if tf is not None:
+        leaves["temporal_present"] = jnp.zeros((), jnp.float32)
+        if tf.dynamic_range is not None:
+            leaves["t_dynamic_range"] = tf.dynamic_range
+        if tf.silence_ratio is not None:
+            leaves["t_silence"] = tf.silence_ratio
+        if tf.onset_density is not None:
+            leaves["t_onset"] = tf.onset_density
+        if tf.rms_energy is not None and tf.rms_energy.size > 0:
+            leaves["t_rms"] = tf.rms_energy
+    sp = f.speech_features
+    if sp is not None:
+        leaves["speech_present"] = jnp.zeros((), jnp.float32)
+        if sp.speech_rate is not None:
+            leaves["s_rate"] = sp.speech_rate
+        if sp.vocal_tract_length is not None:
+            leaves["s_vtl"] = sp.vocal_tract_length
+        if sp.voicing_probability is not None and sp.voicing_probability.size > 0:
+            leaves["s_voicing"] = sp.voicing_probability
+    hf = f.harmonic_features
+    if hf is not None:
+        leaves["harmonic_present"] = jnp.zeros((), jnp.float32)
+        if hf.harmonic_ratio is not None and hf.harmonic_ratio.size > 0:
+            leaves["h_hr"] = hf.harmonic_ratio
+        if hf.pitch_estimate is not None and hf.pitch_estimate.size > 0:
+            leaves["h_pitch"] = hf.pitch_estimate
+    if not leaves:
+        raise ValueError("no packable features in batch")
+    return _pack_batch_jit(leaves, num_mfcc_coeffs)
+
+
 def pack_quality_extras(
     fp: AudioFingerprint, max_frames: int
 ) -> Tuple[np.ndarray, float, np.ndarray, np.ndarray]:

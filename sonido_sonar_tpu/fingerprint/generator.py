@@ -7,9 +7,11 @@ Reference parity: fingerprint/fingerprint.go —
   sample rate, hop size, channels, features, metadata (utils.go:30-58)};
   defaults window 2048 / hop 512 (:70-98).
 
-TPU flow: one H2D upload of the PCM, then the STFT + extractor run as
-jitted device programs. Batched generation over many streams lives in
-sonido_sonar_tpu.parallel.
+TPU flow: one H2D upload of the PCM, then the whole extractor runs as a
+single jitted device program (extractors/programs.py) — per-clip and
+batched paths share that program, so `generate_fingerprints_batch`
+equals per-clip `generate_fingerprint` by construction while sustaining
+the batched pipeline's throughput (bench.py `[bench] generate-batch`).
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ from __future__ import annotations
 import hashlib
 import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +59,66 @@ def generate_id(audio: AudioData) -> str:
     return h.hexdigest()[:16]
 
 
+@dataclass
+class FingerprintBatch:
+    """Device-resident result of `generate_fingerprints_batch(
+    materialize=False)`.
+
+    The per-group feature pytrees stay ON DEVICE ([G, ...] leaves) so
+    corpus-scale pipelines (device comparator packing, batched
+    alignment) consume them without a host round trip — through the
+    remote-tunnel environment a full-feature device->host fetch is the
+    single most expensive step of the public path, and on any hardware
+    it is wasted work when the next consumer is another device program.
+
+    `fingerprints` carries the complete per-clip metadata (IDs, content
+    types, stream info) with `features=None` until `materialize()`
+    pulls each group's pytree with ONE `jax.device_get` and attaches
+    per-clip numpy views.
+    """
+
+    fingerprints: List[AudioFingerprint]
+    groups: List[Tuple[ContentType, List[int], ExtractedFeatures]]
+
+    def materialize(self) -> List[AudioFingerprint]:
+        """Fill every fingerprint's `features` (one device_get per
+        group, numpy views per clip) and return the list."""
+        for _, idxs, features in self.groups:
+            g = len(idxs)
+            leaves = jax.tree_util.tree_leaves(features)
+            if leaves and leaves[0].shape[0] != g:  # drop pad rows on device
+                features = jax.tree_util.tree_map(lambda x: x[:g], features)
+            feats_np = jax.device_get(features)
+            for pos, i in enumerate(idxs):
+                self.fingerprints[i].features = jax.tree_util.tree_map(
+                    lambda x, p=pos: x[p], feats_np
+                )
+        return self.fingerprints
+
+    def comparator_matrix(self, num_mfcc_coeffs: int = 13):
+        """Device-side packed comparator statistics [B, D] in the
+        `device_compare` layout — the corpus-ready output without the
+        features ever leaving the device. Row order matches
+        `fingerprints`."""
+        from sonido_sonar_tpu.fingerprint.device_compare import (
+            pack_comparator_stats_batch,
+        )
+
+        packed = jnp.concatenate(
+            [
+                pack_comparator_stats_batch(features, num_mfcc_coeffs)[
+                    : len(idxs)
+                ]
+                for _, idxs, features in self.groups
+            ]
+        )
+        order = np.concatenate(
+            [np.asarray(idxs, np.int64) for _, idxs, _ in self.groups]
+        )
+        # one gather restores clip order (no per-clip device slicing)
+        return packed[jnp.asarray(np.argsort(order))]
+
+
 class FingerprintGenerator:
     """FingerprintGenerator (fingerprint.go:28-135)."""
 
@@ -88,33 +150,77 @@ class FingerprintGenerator:
             content_type = self.content_detector.detect_content_type(audio)
         return content_type
 
+    def _detect_content_types_batch(
+        self, audios, pcm_all: jnp.ndarray
+    ) -> List[ContentType]:
+        """_detect_content_type over a batch: explicit metadata on host,
+        then ONE device program + [K, 9] fetch for the acoustic stage
+        (content_detector.detect_batch) instead of per-clip host numpy."""
+        from sonido_sonar_tpu.config.config import to_content_type
+
+        ctypes: List[ContentType] = []
+        pending: List[int] = []
+        for i, a in enumerate(audios):
+            ct = ContentType.UNKNOWN
+            if a.metadata is not None:
+                explicit = a.metadata.extra.get("content_type", "")
+                if explicit:
+                    ct = to_content_type(explicit)
+            ctypes.append(ct)
+            if (
+                ct == ContentType.UNKNOWN
+                and self.config.content_aware.enable_content_detection
+            ):
+                pending.append(i)
+        if pending:
+            if len(pending) == len(audios):
+                sub = pcm_all
+            else:
+                sub = pcm_all[jnp.asarray(pending)]
+            detected = self.content_detector.detect_batch(
+                [audios[i] for i in pending], pcm_device=sub
+            )
+            for i, ct in zip(pending, detected):
+                ctypes[i] = ct
+        return ctypes
+
+    def _feature_config_for(self, content_type: ContentType, sample_rate: int):
+        generation_config = self.content_manager.get_generation_config(
+            content_type
+        )
+        # the base config's geometry wins (fingerprint.go:180-186)
+        return generation_config.feature_config.with_(
+            window_size=self.config.feature_config.window_size,
+            hop_size=self.config.feature_config.hop_size,
+            sample_rate=sample_rate,
+        )
+
+    def _extract(self, extractor, pcm: jnp.ndarray, fc, sample_rate: int):
+        """One extractor invocation: the single-program fast path when
+        the extractor provides it, else the composition over an XLA
+        spectrogram (sports/mixed)."""
+        if hasattr(extractor, "extract_features_from_pcm"):
+            return extractor.extract_features_from_pcm(pcm, sample_rate)
+        spectrogram = stft(
+            pcm, fc.window_size, fc.hop_size, fc.window_type, sample_rate
+        )
+        return extractor.extract_features(spectrogram, pcm, sample_rate)
+
     def generate_fingerprint(self, audio: AudioData) -> AudioFingerprint:
         """GenerateFingerprint (fingerprint.go:137-236)."""
         if audio is None or len(audio.pcm) == 0:
             raise ValueError("audio data cannot be empty")
 
         content_type = self._detect_content_type(audio)
-
-        generation_config = self.content_manager.get_generation_config(content_type)
-        fc = generation_config.feature_config
-        # the base config's geometry wins (fingerprint.go:180-186)
-        fc = fc.with_(
-            window_size=self.config.feature_config.window_size,
-            hop_size=self.config.feature_config.hop_size,
-            sample_rate=audio.sample_rate,
-        )
-
+        fc = self._feature_config_for(content_type, audio.sample_rate)
         extractor = self.extractor_factory.create_extractor(content_type, fc)
 
-        pcm = jnp.asarray(np.asarray(audio.pcm, dtype=np.float32))
-        spectrogram = stft(
-            pcm,
-            fc.window_size,
-            fc.hop_size,
-            fc.window_type,
-            audio.sample_rate,
+        pcm = (
+            audio.pcm
+            if isinstance(audio.pcm, jnp.ndarray)
+            else jnp.asarray(np.asarray(audio.pcm, dtype=np.float32))
         )
-        features = extractor.extract_features(spectrogram, pcm, audio.sample_rate)
+        features = self._extract(extractor, pcm, fc, audio.sample_rate)
 
         fp = AudioFingerprint(
             id=generate_id(audio),
@@ -131,19 +237,9 @@ class FingerprintGenerator:
         self._add_metadata(fp, audio, extractor)
         return fp
 
-    def generate_fingerprints_batch(self, audios) -> list:
-        """Batched GenerateFingerprint for same-rate, equal-length clips.
-
-        The whole feature program runs ONCE per content-type group on a
-        stacked [B, N] PCM tensor (the extractors are batch-axis clean),
-        then per-clip fingerprints are split out of the batched feature
-        pytree — the TPU-shaped replacement for looping
-        generate_fingerprint over a corpus. Clips of differing lengths
-        or rates must be grouped/padded by the caller (fixed shapes,
-        SURVEY hard-part #2).
-        """
-        if not audios:
-            return []
+    def _prepare_batch(self, audios) -> jnp.ndarray:
+        """Validate and stack a batch to one [B, N] device array (a
+        single H2D upload; pre-uploaded device PCM passes through)."""
         sr = audios[0].sample_rate
         n = len(audios[0].pcm)
         for a in audios:
@@ -154,25 +250,59 @@ class FingerprintGenerator:
                     "generate_fingerprints_batch requires equal-length, "
                     "same-rate clips; group or pad upstream"
                 )
+        if isinstance(audios[0].pcm, jnp.ndarray):
+            return jnp.stack([a.pcm for a in audios])
+        return jnp.asarray(
+            np.stack([np.asarray(a.pcm, dtype=np.float32) for a in audios])
+        )
 
-        ctypes = [self._detect_content_type(a) for a in audios]
-        results: list = [None] * len(audios)
+    def generate_fingerprints_batch(
+        self, audios, materialize: bool = True
+    ):
+        """Batched GenerateFingerprint for same-rate, equal-length clips.
+
+        The whole extractor program runs ONCE per content-type group on
+        a stacked [B, N] device tensor (the same single-program path
+        `generate_fingerprint` uses, so batch == per-clip), with content
+        detection batched through one device program. Clips of differing
+        lengths or rates must be grouped/padded by the caller (fixed
+        shapes, SURVEY hard-part #2).
+
+        materialize=True (default): returns List[AudioFingerprint] with
+        host-numpy features (ONE jax.device_get per content group, then
+        per-clip numpy views — no per-clip device slicing).
+        materialize=False: returns a FingerprintBatch whose features
+        stay on device for corpus pipelines (device comparator packing,
+        batched alignment); call .materialize() for the list form.
+        """
+        if not audios:
+            return [] if materialize else FingerprintBatch([], [])
+        sr = audios[0].sample_rate
+        pcm_all = self._prepare_batch(audios)
+        ctypes = self._detect_content_types_batch(audios, pcm_all)
+
+        fingerprints: List[Optional[AudioFingerprint]] = [None] * len(audios)
+        groups: List[Tuple[ContentType, List[int], ExtractedFeatures]] = []
         for ct in dict.fromkeys(ctypes):  # preserve first-seen order
             idxs = [i for i, c in enumerate(ctypes) if c == ct]
-            generation_config = self.content_manager.get_generation_config(ct)
-            fc = generation_config.feature_config.with_(
-                window_size=self.config.feature_config.window_size,
-                hop_size=self.config.feature_config.hop_size,
-                sample_rate=sr,
-            )
+            fc = self._feature_config_for(ct, sr)
             extractor = self.extractor_factory.create_extractor(ct, fc)
-            pcm = jnp.asarray(
-                np.stack([np.asarray(audios[i].pcm, dtype=np.float32) for i in idxs])
-            )
-            spectrogram = stft(pcm, fc.window_size, fc.hop_size, fc.window_type, sr)
-            features = extractor.extract_features(spectrogram, pcm, sr)
-            for pos, i in enumerate(idxs):
-                feats_i = jax.tree_util.tree_map(lambda x, p=pos: x[p], features)
+            if len(idxs) == len(audios):
+                pcm = pcm_all
+            else:
+                # pad the group to the next power of two (repeating row
+                # 0 — every op is batch-element independent, so pad rows
+                # are inert): group sizes vary run to run with detected
+                # content, and each DISTINCT size is a fresh XLA compile
+                # of the whole extractor program. Bucketing bounds the
+                # variants to log2(B) per content config.
+                g = len(idxs)
+                gp = min(1 << (g - 1).bit_length(), len(audios))
+                take = idxs + [idxs[0]] * (gp - g)
+                pcm = pcm_all[jnp.asarray(take)]
+            features = self._extract(extractor, pcm, fc, sr)
+            groups.append((ct, idxs, features))
+            for i in idxs:
                 audio = audios[i]
                 fp = AudioFingerprint(
                     id=generate_id(audio),
@@ -183,26 +313,36 @@ class FingerprintGenerator:
                     sample_rate=sr,
                     hop_size=self.config.feature_config.hop_size,
                     channels=audio.channels,
-                    features=feats_i,
+                    features=None,
                     metadata={},
                 )
-                self._add_metadata(fp, audio, extractor)
-                results[i] = fp
-        return results
+                self._add_metadata(fp, audio, extractor, features)
+                fingerprints[i] = fp
 
-    def _add_metadata(self, fp: AudioFingerprint, audio: AudioData, extractor) -> None:
-        """utils.go:30-58."""
+        batch = FingerprintBatch(fingerprints, groups)
+        if materialize:
+            return batch.materialize()
+        return batch
+
+    def _add_metadata(
+        self, fp: AudioFingerprint, audio: AudioData, extractor,
+        batched_features: Optional[ExtractedFeatures] = None,
+    ) -> None:
+        """utils.go:30-58. Feature stats read static SHAPES only, so the
+        batched path passes its [G, ...] pytree and nothing is fetched."""
         fp.metadata["extractor_name"] = extractor.get_name()
         fp.metadata["feature_weights"] = extractor.get_feature_weights()
         fp.metadata["generation_time"] = time.time()
         if audio.metadata is not None:
             fp.metadata["stream_metadata"] = audio.metadata
+        src = batched_features if batched_features is not None else fp.features
         stats: Dict[str, Any] = {}
-        if fp.features.mfcc is not None:
-            stats["mfcc_frames"] = int(fp.features.mfcc.shape[-2])
-            stats["mfcc_coefficients"] = int(fp.features.mfcc.shape[-1])
-        if fp.features.spectral_features is not None:
-            stats["spectral_frames"] = int(
-                fp.features.spectral_features.spectral_centroid.shape[-1]
-            )
+        if src is not None:
+            if src.mfcc is not None:
+                stats["mfcc_frames"] = int(src.mfcc.shape[-2])
+                stats["mfcc_coefficients"] = int(src.mfcc.shape[-1])
+            if src.spectral_features is not None:
+                stats["spectral_frames"] = int(
+                    src.spectral_features.spectral_centroid.shape[-1]
+                )
         fp.metadata["feature_stats"] = stats

@@ -462,6 +462,48 @@ def main() -> None:
         file=sys.stderr,
      flush=True)
 
+    # secondary: single-query corpus search through the fused top-k
+    # program (VERDICT r3 item #3): scoring + exact selection in ONE
+    # dispatch, [k]-row fetch (~KB instead of five [C] arrays). Measured
+    # two ways: blocking one-shot latency, and sustained with one query
+    # in flight — the monitor-fleet shape, where the ~27 ms fixed
+    # dispatch+fetch round trip of the remote link overlaps the next
+    # query's device work.
+    from sonido_sonar_tpu.fingerprint.device_compare import topk_similarity
+
+    qvs = [
+        jnp.asarray(rng.standard_normal(D).astype(np.float32))
+        for _ in range(8)
+    ]
+    step_q = lambda q: topk_similarity(q, corpus_dev, wvec, cmatch, k=16)
+    float(step_q(qvs[0])["overall"].sum())  # warmup/compile
+    t0 = time.perf_counter()
+    float(step_q(qvs[1])["overall"].sum())
+    t_one = time.perf_counter() - t0
+    # sustained: depth-4 pipeline with async host copies — every result's
+    # ~KB of rows starts streaming at dispatch, so the link round trip
+    # of query i overlaps queries i+1..i+4 (search_corpus_stream rides
+    # the identical machinery through the public comparator)
+    n_iters = 32
+    inflight = collections.deque()
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        o = step_q(qvs[i % len(qvs)])
+        for leaf in o.values():
+            leaf.copy_to_host_async()
+        inflight.append(o)
+        if len(inflight) > 4:
+            float(np.asarray(inflight.popleft()["overall"]).sum())
+    while inflight:
+        float(np.asarray(inflight.popleft()["overall"]).sum())
+    t_topk = (time.perf_counter() - t0) / n_iters
+    print(
+        f"[bench] single-query top-k search: {n_corpus} candidates, "
+        f"one-shot {t_one*1000:.1f} ms, pipelined {t_topk*1000:.2f} ms/query "
+        f"= {n_corpus/t_topk/1e6:.0f}M comparisons/s",
+        file=sys.stderr,
+     flush=True)
+
     # secondary: fleet corpus search — Q queries x C candidates in ONE
     # dispatch (single-query dispatch is round-trip-bound on the remote
     # chip: <1 ms device work under ~27 ms fixed dispatch+fetch)

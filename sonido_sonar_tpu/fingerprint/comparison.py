@@ -479,7 +479,8 @@ class FingerprintComparator:
                 for r in results
                 if r.overall_similarity >= self.config.similarity_threshold
             ]
-        else:
+        elif self.config.enable_detailed_metrics or mesh is not None:
+            # quality chain / sharded corpus: full-[C] device program
             cands = [c for c in candidates if c is not None and c.id != query.id]
             results = self.batch_compare_device(query, cands, mesh=mesh)
             matches = [
@@ -487,8 +488,160 @@ class FingerprintComparator:
                 for c, r in zip(cands, results)
                 if r.overall_similarity >= self.config.similarity_threshold
             ]
+        else:
+            # default corpus search: pack + ONE top-k dispatch; only the
+            # winning rows are fetched and only they become host objects
+            from sonido_sonar_tpu.fingerprint.device_compare import PackedCorpus
+
+            cands = [c for c in candidates if c is not None]
+            return self.search_corpus(
+                query, PackedCorpus.build(cands), max_results
+            )
         matches.sort(key=lambda m: m.similarity.overall_similarity, reverse=True)
         matches = matches[:max_results]
+        for i, m in enumerate(matches):
+            m.rank = i + 1
+        return matches
+
+    def search_corpus(
+        self,
+        query: AudioFingerprint,
+        corpus,
+        max_results: int = 0,
+    ) -> List[Match]:
+        """FindBestMatches against a pre-packed corpus
+        (device_compare.PackedCorpus) — the monitor's repeated-search
+        fast path (VERDICT r3 item #3): pack the query (one clip, host),
+        run scoring + exact top-k selection as ONE device program, fetch
+        only the k winning rows, and build host Match objects for those
+        alone. Results equal find_best_matches over the same candidates
+        (modulo float32 kernel rounding and ties at the cut)."""
+        import jax
+
+        from sonido_sonar_tpu.fingerprint.device_compare import (
+            FEATURE_ORDER,
+            MATCH_CLASSES,
+            content_code,
+            pack_comparator_stats,
+            topk_similarity,
+        )
+
+        if self.config.enable_detailed_metrics:
+            return self.find_best_matches(
+                query, corpus.fingerprints, max_results,
+                use_device_prefilter=True, prefilter_threshold=0,
+            )
+        if len(corpus) == 0:
+            return []
+        max_results = max_results or self.config.max_candidates
+        out = jax.device_get(self._dispatch_topk(query, corpus, max_results))
+        return self._matches_from_topk(query, corpus, out, max_results)
+
+    def _dispatch_topk(self, query, corpus, max_results: int):
+        """Pack the query and launch the fused scoring+top-k program
+        (non-blocking; result leaves are device arrays)."""
+        from sonido_sonar_tpu.fingerprint.device_compare import (
+            FEATURE_ORDER,
+            content_code,
+            pack_comparator_stats,
+            topk_similarity,
+        )
+
+        qv = pack_comparator_stats(query, corpus.width)
+        w = self._effective_weights(query)
+        wvec = np.array(
+            [w.get(k, 0.0) for k in FEATURE_ORDER], dtype=np.float32
+        )
+        q_code = content_code(query.content_type)
+        return topk_similarity(
+            jnp.asarray(qv), corpus.matrix, jnp.asarray(wvec),
+            corpus.codes == q_code,
+            k=min(max_results + 4, len(corpus)),
+            num_mfcc_coeffs=corpus.width,
+            content_filter=self.config.enable_content_filter,
+        )
+
+    def search_corpus_stream(
+        self,
+        queries,
+        corpus,
+        max_results: int = 0,
+        depth: int = 4,
+    ):
+        """Pipelined search_corpus over an iterable of queries: up to
+        `depth` searches stay in flight, and every result's rows start
+        streaming to the host asynchronously the moment the program is
+        dispatched (copy_to_host_async), so the link round trip of query
+        i overlaps the device work AND the fetches of queries i+1..
+        i+depth. This is the monitor-fleet shape for single-stream
+        searches — measured 28.3 -> 6.8 ms/query over a 262k corpus on
+        the remote-tunnel chip (bench.py single-query top-k line).
+
+        Yields one Match list per query, in input order."""
+        import collections
+
+        if self.config.enable_detailed_metrics:
+            for q in queries:
+                yield self.search_corpus(q, corpus, max_results)
+            return
+        max_results = max_results or self.config.max_candidates
+        inflight = collections.deque()
+
+        def _drain():
+            q, out = inflight.popleft()
+            out_np = {k: np.asarray(v) for k, v in out.items()}
+            return self._matches_from_topk(q, corpus, out_np, max_results)
+
+        for q in queries:
+            out = self._dispatch_topk(q, corpus, max_results)
+            for leaf in out.values():
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+            inflight.append((q, out))
+            if len(inflight) > depth:
+                yield _drain()
+        while inflight:
+            yield _drain()
+
+    def _matches_from_topk(
+        self, query, corpus, out, max_results: int
+    ) -> List[Match]:
+        from sonido_sonar_tpu.fingerprint.device_compare import (
+            FEATURE_ORDER,
+            MATCH_CLASSES,
+        )
+
+        matches: List[Match] = []
+        for row in range(len(out["index"])):
+            cand = corpus.fingerprints[int(out["index"][row])]
+            if cand.id == query.id:
+                continue
+            sim = float(out["overall"][row])
+            if sim < self.config.similarity_threshold:
+                break  # rows are sorted descending; nothing further passes
+            is_match = bool(out["content_match"][row])
+            filtered = self.config.enable_content_filter and not is_match
+            r = SimilarityResult(
+                fingerprint1_id=query.id,
+                fingerprint2_id=cand.id,
+                overall_similarity=sim,
+                feature_similarity=sim,
+                content_type_match=is_match,
+                match_type=MATCH_CLASSES[int(out["match_class"][row])],
+                confidence=float(out["confidence"][row]),
+            )
+            if filtered:
+                r.match_type = "weak"
+                r.confidence = 0.0
+            else:
+                for j, name in enumerate(FEATURE_ORDER):
+                    if bool(out["feature_present"][row, j]):
+                        r.feature_distances[name] = 1.0 - float(
+                            out["feature_sims"][row, j]
+                        )
+            matches.append(Match(cand, r, 0))
+            if len(matches) >= max_results:
+                break
         for i, m in enumerate(matches):
             m.rank = i + 1
         return matches
@@ -524,7 +677,6 @@ class FingerprintComparator:
         from sonido_sonar_tpu.fingerprint.device_compare import (
             FEATURE_ORDER,
             MATCH_CLASSES,
-            batched_similarity_multi,
             comparator_matrix,
             pack_comparator_stats,
         )
@@ -553,10 +705,18 @@ class FingerprintComparator:
         c_codes = np.array(
             [codes.get(c.content_type, -1) for c in cands], np.int32
         )
+        # scoring + selection in one program: the fetch is [Q, k] rows
+        # instead of [Q, C] matrices (67 MB at Q=64 x C=262k), and the
+        # host loop touches only the winners instead of Q*C pairs
+        from sonido_sonar_tpu.fingerprint.device_compare import (
+            topk_similarity_multi,
+        )
+
         out = jax.device_get(
-            batched_similarity_multi(
+            topk_similarity_multi(
                 qmat, corpus, weights,
                 jnp.asarray(q_codes), jnp.asarray(c_codes),
+                k=min(max_results + 4, len(cands)),
                 num_mfcc_coeffs=width,
                 content_filter=self.config.enable_content_filter,
             )
@@ -564,37 +724,36 @@ class FingerprintComparator:
         all_matches: List[List[Match]] = []
         for qi, q in enumerate(queries):
             matches = []
-            for ci, cand in enumerate(cands):
+            for row in range(out["index"].shape[1]):
+                cand = cands[int(out["index"][qi, row])]
                 if cand.id == q.id:
                     continue
-                sim = float(out["overall"][qi, ci])
+                sim = float(out["overall"][qi, row])
                 if sim < self.config.similarity_threshold:
-                    continue
-                is_match = q_codes[qi] == c_codes[ci]
+                    break  # descending rows; nothing further passes
+                is_match = bool(out["content_match"][qi, row])
                 filtered = self.config.enable_content_filter and not is_match
                 r = SimilarityResult(
                     fingerprint1_id=q.id,
                     fingerprint2_id=cand.id,
                     overall_similarity=sim,
                     feature_similarity=sim,
-                    content_type_match=bool(is_match),
-                    match_type=MATCH_CLASSES[int(out["match_class"][qi, ci])],
-                    confidence=float(out["confidence"][qi, ci]),
+                    content_type_match=is_match,
+                    match_type=MATCH_CLASSES[int(out["match_class"][qi, row])],
+                    confidence=float(out["confidence"][qi, row]),
                 )
                 if filtered:
                     r.match_type = "weak"
                     r.confidence = 0.0
                 else:
                     for j, name in enumerate(FEATURE_ORDER):
-                        if bool(out["feature_present"][qi, ci, j]):
+                        if bool(out["feature_present"][qi, row, j]):
                             r.feature_distances[name] = 1.0 - float(
-                                out["feature_sims"][qi, ci, j]
+                                out["feature_sims"][qi, row, j]
                             )
                 matches.append(Match(cand, r, 0))
-            matches.sort(
-                key=lambda m: m.similarity.overall_similarity, reverse=True
-            )
-            matches = matches[:max_results]
+                if len(matches) >= max_results:
+                    break
             for i, m in enumerate(matches):
                 m.rank = i + 1
             all_matches.append(matches)

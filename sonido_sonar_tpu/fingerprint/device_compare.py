@@ -332,6 +332,60 @@ def pack_comparator_stats_batch(features, num_mfcc_coeffs: int = 13):
     return _pack_batch_jit(leaves, num_mfcc_coeffs)
 
 
+def content_code(ct) -> int:
+    """Stable integer code per ContentType (shared by every in-kernel
+    content-match path)."""
+    return {c: i for i, c in enumerate(ContentType)}.get(ct, -1)
+
+
+class PackedCorpus:
+    """A corpus packed ONCE for repeated device search.
+
+    The reference re-walks every candidate per FindBestMatches call
+    (comparison.go:197-263); at 262k candidates the repo's old device
+    path likewise re-packed the corpus on host per call — seconds of
+    float64 reductions before any device work. A monitor searches the
+    same corpus for every measurement, so packing is hoisted here:
+    build once (host packer, or ON DEVICE from a FingerprintBatch), then
+    every `FingerprintComparator.search_corpus` call is one top-k
+    dispatch + a [k]-row fetch.
+    """
+
+    def __init__(self, fingerprints, matrix, codes, width: int):
+        self.fingerprints = fingerprints
+        self.matrix = matrix          # [C, D] device float32
+        self.codes = codes            # [C] device int32
+        self.width = width
+
+    def __len__(self) -> int:
+        return len(self.fingerprints)
+
+    @classmethod
+    def build(cls, fingerprints, num_mfcc_coeffs: Optional[int] = None):
+        """Pack host-side fingerprints (float64 host packer, once)."""
+        fps = [fp for fp in fingerprints if fp is not None]
+        matrix, width = comparator_matrix(fps, num_mfcc_coeffs)
+        codes = np.array(
+            [content_code(fp.content_type) for fp in fps], np.int32
+        )
+        return cls(fps, jnp.asarray(matrix), jnp.asarray(codes), width)
+
+    @classmethod
+    def from_batch(cls, batch, num_mfcc_coeffs: int = 13):
+        """Pack a device-resident FingerprintBatch WITHOUT the features
+        ever leaving the device (generator.FingerprintBatch
+        .comparator_matrix -> [C, D] on device)."""
+        matrix = batch.comparator_matrix(num_mfcc_coeffs)
+        codes = np.array(
+            [content_code(fp.content_type) for fp in batch.fingerprints],
+            np.int32,
+        )
+        return cls(
+            list(batch.fingerprints), matrix, jnp.asarray(codes),
+            num_mfcc_coeffs,
+        )
+
+
 def pack_quality_extras(
     fp: AudioFingerprint, max_frames: int
 ) -> Tuple[np.ndarray, float, np.ndarray, np.ndarray]:
@@ -600,6 +654,87 @@ def batched_similarity(
         "match_class": match_class,
         "feature_sims": jnp.where(keep[:, None], feature_sims, 0.0),
         "feature_present": feature_present & keep[:, None],
+    }
+
+
+@partial(jax.jit, static_argnames=("k", "num_mfcc_coeffs", "content_filter"))
+def topk_similarity(
+    query: jnp.ndarray,            # [D]
+    corpus: jnp.ndarray,           # [C, D]
+    weights: jnp.ndarray,          # [6]
+    content_match: jnp.ndarray,    # [C] bool
+    k: int,
+    num_mfcc_coeffs: int = 13,
+    content_filter: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """batched_similarity + exact top-k selection in ONE program, so a
+    single query over a corpus fetches k rows (~KB) instead of five [C]
+    arrays (VERDICT r3 item #3 — the full-[C] fetch and the per-candidate
+    host loop were the single-query path's 25x gap, not device math).
+
+    Returns index/overall/confidence/match_class [k] and feature_sims/
+    feature_present [k, 6], ordered by descending overall similarity.
+    Selection uses approx_max_k at recall 1.0 (the exact TPU lowering —
+    one sort of the score vector, PERF.md rule 5)."""
+    out = batched_similarity(
+        query, corpus, weights, content_match,
+        num_mfcc_coeffs=num_mfcc_coeffs, content_filter=content_filter,
+    )
+    kk = min(k, corpus.shape[0])
+    vals, idx = jax.lax.approx_max_k(out["overall"], kk, recall_target=1.0)
+    return {
+        "index": idx.astype(jnp.int32),
+        "overall": vals,
+        "confidence": out["confidence"][idx],
+        "match_class": out["match_class"][idx],
+        "feature_sims": out["feature_sims"][idx],
+        "feature_present": out["feature_present"][idx],
+        "content_match": content_match[idx],
+    }
+
+
+@partial(jax.jit, static_argnames=("k", "num_mfcc_coeffs", "content_filter"))
+def topk_similarity_multi(
+    queries: jnp.ndarray,          # [Q, D]
+    corpus: jnp.ndarray,           # [C, D]
+    weights: jnp.ndarray,          # [Q, 6]
+    q_content: jnp.ndarray,        # [Q] int32
+    c_content: jnp.ndarray,        # [C] int32
+    k: int,
+    num_mfcc_coeffs: int = 13,
+    content_filter: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Fleet top-k: Q queries x C candidates scored AND selected in one
+    dispatch; the fetch is [Q, k] rows instead of [Q, C] matrices (67 MB
+    at Q=64 x C=262k — which made the full-matrix multi path unusable at
+    corpus scale through any link)."""
+    out = batched_similarity_multi(
+        queries, corpus, weights, q_content, c_content,
+        num_mfcc_coeffs=num_mfcc_coeffs, content_filter=content_filter,
+        return_feature_sims=True,
+    )
+    kk = min(k, corpus.shape[0])
+    vals, idx = jax.lax.approx_max_k(
+        out["overall"], kk, recall_target=1.0, reduction_dimension=-1
+    )
+    take = jnp.take_along_axis
+    return {
+        "index": idx.astype(jnp.int32),
+        "overall": vals,
+        "confidence": take(out["confidence"], idx, axis=-1),
+        "match_class": take(out["match_class"], idx, axis=-1),
+        "feature_sims": take(
+            out["feature_sims"], idx[:, :, None], axis=1
+        ),
+        "feature_present": take(
+            out["feature_present"], idx[:, :, None], axis=1
+        ),
+        "content_match": (
+            q_content[:, None] == take(
+                jnp.broadcast_to(c_content[None, :], out["overall"].shape),
+                idx, axis=-1,
+            )
+        ),
     }
 
 

@@ -7,6 +7,7 @@ corpora, and `find_best_matches` must use it end-to-end.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -14,6 +15,7 @@ from sonido_sonar_tpu.config.config import ComparisonConfig, ContentType
 from sonido_sonar_tpu.extractors.features import ExtractedFeatures
 from sonido_sonar_tpu.fingerprint.comparison import FingerprintComparator
 from sonido_sonar_tpu.fingerprint.device_compare import (
+    PackedCorpus,
     FEATURE_ORDER,
     comparator_matrix,
     content_weight_vector,
@@ -337,3 +339,121 @@ def test_find_best_matches_multi_end_to_end():
             assert g.similarity.match_type == w.similarity.match_type
             assert g.similarity.feature_distances.keys() == (
                 w.similarity.feature_distances.keys())
+
+
+def test_search_corpus_matches_host_path():
+    """Pre-packed top-k search == the host per-pair loop (feature
+    distances and ranks included), with the query present in the corpus
+    (self-skip) — VERDICT r3 item #3."""
+    rng = np.random.default_rng(21)
+    comp = FingerprintComparator(ComparisonConfig(similarity_threshold=0.0))
+    present = set(_GROUPS)
+    query = _random_corpus(rng, 1, content=ContentType.NEWS, present=present)[0]
+    cands = _random_corpus(rng, 48, content=ContentType.NEWS, present=present)
+    packed = PackedCorpus.build([query] + cands)  # self included
+    got = comp.search_corpus(query, packed, max_results=8)
+    want = comp.find_best_matches(
+        query, cands, max_results=8, use_device_prefilter=False
+    )
+    assert [m.fingerprint.id for m in got] == [m.fingerprint.id for m in want]
+    for a, b in zip(got, want):
+        assert a.similarity.overall_similarity == pytest.approx(
+            b.similarity.overall_similarity, abs=TOL)
+        assert a.rank == b.rank
+        assert set(a.similarity.feature_distances) == set(
+            b.similarity.feature_distances)
+        for k, v in b.similarity.feature_distances.items():
+            assert a.similarity.feature_distances[k] == pytest.approx(
+                v, abs=TOL), k
+
+
+def test_topk_multi_matches_full_multi():
+    """Fleet top-k selection returns the same winners as the full [Q, C]
+    program, fetching only [Q, k] rows."""
+    import jax
+
+    from sonido_sonar_tpu.fingerprint.device_compare import (
+        batched_similarity_multi, topk_similarity_multi)
+
+    rng = np.random.default_rng(22)
+    queries = _random_corpus(rng, 4, prefix="q", present=set(_GROUPS))
+    cands = _random_corpus(rng, 200)
+    corpus, width = comparator_matrix(cands)
+    qmat, _ = comparator_matrix(queries, num_mfcc_coeffs=width)
+    wmat = np.tile(
+        np.array([0.35, 0.25, 0.10, 0.20, 0.10, 0.10], np.float32), (4, 1))
+    q_codes = jnp.asarray(np.zeros(4, np.int32))
+    c_codes = jnp.asarray(np.zeros(len(cands), np.int32))
+    full = jax.device_get(batched_similarity_multi(
+        jnp.asarray(qmat), jnp.asarray(corpus), jnp.asarray(wmat),
+        q_codes, c_codes, num_mfcc_coeffs=width))
+    topk = jax.device_get(topk_similarity_multi(
+        jnp.asarray(qmat), jnp.asarray(corpus), jnp.asarray(wmat),
+        q_codes, c_codes, k=5, num_mfcc_coeffs=width))
+    for qi in range(4):
+        order = np.argsort(-full["overall"][qi], kind="stable")[:5]
+        np.testing.assert_allclose(
+            topk["overall"][qi], full["overall"][qi][order], atol=1e-6)
+        # winners agree as sets (ties may reorder between the two sorts)
+        assert set(np.round(topk["overall"][qi], 5)) == set(
+            np.round(full["overall"][qi][order], 5))
+        for row, ci in enumerate(topk["index"][qi]):
+            np.testing.assert_allclose(
+                topk["feature_sims"][qi, row],
+                full["feature_sims"][qi, ci], atol=1e-6)
+
+
+def test_packed_corpus_from_batch_matches_host_pack():
+    """PackedCorpus.from_batch (device-side packing of a device-resident
+    FingerprintBatch) equals PackedCorpus.build over the materialized
+    fingerprints."""
+    from sonido_sonar_tpu.config.config import FeatureConfig, FingerprintConfig
+    from sonido_sonar_tpu.fingerprint import FingerprintGenerator
+    from sonido_sonar_tpu.io.audio import AudioData, AudioMetadata
+    from sonido_sonar_tpu.io.synth import speech_like
+
+    sr = 22050
+    gen = FingerprintGenerator(FingerprintConfig(
+        feature_config=FeatureConfig(
+            sample_rate=sr, window_size=1024, hop_size=256)))
+    audios = [
+        AudioData(
+            pcm=speech_like(2.0, sr, seed=s),
+            sample_rate=sr,
+            metadata=AudioMetadata(genre="talk radio"),
+        )
+        for s in (1, 2, 3)
+    ]
+    fb = gen.generate_fingerprints_batch(audios, materialize=False)
+    dev = PackedCorpus.from_batch(fb, 13)
+    host = PackedCorpus.build(fb.materialize(), 13)
+    assert dev.width == host.width
+    scale = np.maximum(np.abs(np.asarray(host.matrix)), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(dev.matrix) / scale,
+        np.asarray(host.matrix) / scale, atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(dev.codes), np.asarray(host.codes))
+
+
+def test_search_corpus_stream_matches_sequential():
+    """The pipelined stream yields the same matches, in input order, as
+    one-at-a-time search_corpus."""
+    rng = np.random.default_rng(23)
+    comp = FingerprintComparator(ComparisonConfig(similarity_threshold=0.0))
+    present = set(_GROUPS)
+    queries = _random_corpus(rng, 6, prefix="q", present=present,
+                             content=ContentType.MUSIC)
+    cands = _random_corpus(rng, 64, content=ContentType.MUSIC,
+                           present=present)
+    packed = PackedCorpus.build(cands)
+    streamed = list(comp.search_corpus_stream(
+        queries, packed, max_results=5, depth=2))
+    assert len(streamed) == len(queries)
+    for q, got in zip(queries, streamed):
+        want = comp.search_corpus(q, packed, max_results=5)
+        assert [m.fingerprint.id for m in got] == [
+            m.fingerprint.id for m in want]
+        for a, b in zip(got, want):
+            assert a.similarity.overall_similarity == pytest.approx(
+                b.similarity.overall_similarity, abs=1e-7)

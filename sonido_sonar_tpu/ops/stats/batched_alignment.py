@@ -320,11 +320,13 @@ def dtw_align_batch(
     from sonido_sonar_tpu.ops.stats.dtw import _backtrack_banded, _fill_banded
     from sonido_sonar_tpu.ops.stats.pallas_backtrack import (
         backtrack_banded_pallas_batch,
+        backtrack_banded_pallas_rev,
         pallas_backtrack_available,
     )
     from sonido_sonar_tpu.ops.stats.pallas_dtw import (
         fill_banded_pallas_batch,
         fill_banded_pallas_scan_batch,
+        fill_banded_pallas_scan_pairs_raw,
         pallas_dtw_available,
         pallas_dtw_scan_available,
     )
@@ -335,21 +337,61 @@ def dtw_align_batch(
         reference = reference[..., None]
     q = query.astype(jnp.float32)
     r = reference.astype(jnp.float32)
+    b = q.shape[0]
 
-    if pallas_dtw_available(band):
-        costs = fill_banded_pallas_batch(q, r, band, n, m)
-    elif pallas_dtw_scan_available(band):
-        costs = fill_banded_pallas_scan_batch(q, r, band, n, m)
+    if pallas_dtw_scan_available(band) and not pallas_dtw_available(band) \
+            and b > 1:
+        # production lag budgets, batched: pairs-on-sublanes fill (B
+        # independent DPs advance the same row in one [B, lanes] vector
+        # op, ~min(B,8)x the serial-grid batch) with fill AND backtrack
+        # run per power-of-two sub-batch so the GB-scale band tensors
+        # (dense distances, cost band, move codes) stay TRANSIENT — only
+        # the tiny path-coordinate arrays survive to full-batch scoring.
+        lanes = max(128, ((2 * band + 1 + 127) // 128) * 128)
+        w_arr = max(lanes, ((m + 127) // 128) * 128) + 128
+        per_pair = 4 * n * (w_arr + lanes)
+        sb = 8
+        while sb > 1 and sb * per_pair > 8e9:
+            sb //= 2
+        part_paths, part_raws = [], []
+        for i in range(0, b, sb):
+            # raw reversed orientation end-to-end: the backtrack's move
+            # codes and path-cost gathers read the kernel's reversed
+            # band in place — no multi-GB un-reverse, slice, or row-0
+            # concat passes
+            costs_rev = fill_banded_pallas_scan_pairs_raw(
+                q[i : i + sb], r[i : i + sb], band, n, m
+            )
+            bt = backtrack_banded_pallas_rev(costs_rev, band, n, m)
+            part_paths.append(bt)
+            part_raws.append(
+                costs_rev[:, n - 1, costs_rev.shape[-1] - 1 - (m - n + band)]
+            )
+        if len(part_paths) == 1:
+            qs_b, rs_b, cs_b, lengths = part_paths[0]
+            raw = part_raws[0]
+        else:
+            qs_b, rs_b, cs_b, lengths = (
+                jnp.concatenate([p[j] for p in part_paths])
+                for j in range(4)
+            )
+            raw = jnp.concatenate(part_raws)
     else:
-        costs = jax.vmap(lambda a, b: _fill_banded(a, b, band, n, m))(q, r)
-    if pallas_backtrack_available(band):
-        qs_b, rs_b, cs_b, lengths = backtrack_banded_pallas_batch(costs, band, n, m)
-    else:
-        qs_b, rs_b, cs_b, lengths = jax.vmap(
-            lambda c: _backtrack_banded(c, band, n, m)
-        )(costs)
-
-    raw = costs[:, n, m - n + band]
+        if pallas_dtw_available(band):
+            costs = fill_banded_pallas_batch(q, r, band, n, m)
+        elif pallas_dtw_scan_available(band):
+            costs = fill_banded_pallas_scan_batch(q, r, band, n, m)
+        else:
+            costs = jax.vmap(lambda a, b: _fill_banded(a, b, band, n, m))(q, r)
+        if pallas_backtrack_available(band):
+            qs_b, rs_b, cs_b, lengths = backtrack_banded_pallas_batch(
+                costs, band, n, m
+            )
+        else:
+            qs_b, rs_b, cs_b, lengths = jax.vmap(
+                lambda c: _backtrack_banded(c, band, n, m)
+            )(costs)
+        raw = costs[:, n, m - n + band]
     scores = jax.vmap(partial(_dtw_path_scores, n=n, m=m))(
         qs_b, rs_b, cs_b, lengths, raw
     )

@@ -38,10 +38,11 @@ _BLK_WORDS = 96 * 1024  # SMEM words per walk block: SMEM is 1 MB on
 # moves/state outputs leaves ~240 KB slack.
 
 
-def _rows_blk(band: int) -> int:
+def _rows_blk(band: int, words_row: int = 0) -> int:
     """Code rows per SMEM walk block, shrunk for wide bands so the
     double-buffered block fits v5e's 1 MB SMEM (multiple of 8 rows)."""
-    words_row = (2 * band + 1 + 15) // 16
+    if not words_row:
+        words_row = (2 * band + 1 + 15) // 16
     rows = min(_ROWS_BLK, max(8, (_BLK_WORDS // max(words_row, 1)) & ~7))
     return rows
 
@@ -70,33 +71,34 @@ def _move_codes(cost_band: jnp.ndarray, band: int, n: int, m: int):
     j==0 -> up)."""
     w = 2 * band + 1
     inf = jnp.float32(jnp.inf)
-    bsz = cost_band.shape[0]
 
     ii = jnp.arange(n + 1)[None, :, None]
     kk = jnp.arange(w)[None, None, :]
     jj = ii - band + kk
 
-    inf_row = jnp.full((bsz, 1, w), inf)
-    inf_col = jnp.full((bsz, n + 1, 1), inf)
-    row_above = jnp.concatenate([inf_row, cost_band[:, :-1, :]], axis=1)
-    up = jnp.concatenate([row_above[:, :, 1:], inf_col], axis=2)  # (i-1, j)
-    left = jnp.concatenate([inf_col, cost_band[:, :, :-1]], axis=2)  # (i, j-1)
-    diag = row_above  # (i-1, j-1): same band column k
-    # out-of-range j for the left/diag neighbors (j-1 < 0) only occurs
-    # at j == 0 cells, which the border override below rewrites anyway.
+    # ONE padded copy; the three neighbors are then slice views XLA
+    # fuses straight into the comparisons (the old concat-per-neighbor
+    # formulation materialized three full-size f32 temps plus an s32
+    # code tensor — ~13 GB of HLO temps at the 60 s lag budget x8 pairs)
+    cb_pad = jnp.pad(
+        cost_band, ((0, 0), (1, 0), (1, 1)), constant_values=inf
+    )                                                  # [B, n+2, w+2]
+    up = cb_pad[:, :-1, 2:]                            # (i-1, j):  k+1
+    left = cb_pad[:, 1:, :-2]                          # (i, j-1):  k-1
+    diag = cb_pad[:, :-1, 1:-1]                        # (i-1, j-1): k
     pick_left = left < up
     pick_diag = (diag < up) & (diag < left)
-    code = jnp.where(pick_diag, 2, jnp.where(pick_left, 1, 0)).astype(jnp.int32)
-    code = jnp.where(ii == 0, 1, code)   # border: only j decreases
-    code = jnp.where(jj == 0, 0, code)   # border: only i decreases
+    code = jnp.where(pick_diag, 2, jnp.where(pick_left, 1, 0)).astype(jnp.int8)
+    code = jnp.where(ii == 0, jnp.int8(1), code)  # border: only j decreases
+    code = jnp.where(jj == 0, jnp.int8(0), code)  # border: only i decreases
 
-    # pack 16 codes per int32 word
+    # pack 16 codes per int32 word (int8 until the fused shift-reduce)
     words = (w + 15) // 16
     pad = words * 16 - w
     code = jnp.pad(code, ((0, 0), (0, 0), (0, pad)))
     code = code.reshape(code.shape[0], n + 1, words, 16)
     shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, None, :]
-    return jnp.sum(code << shifts, axis=-1).astype(jnp.int32)
+    return jnp.sum(code.astype(jnp.int32) << shifts, axis=-1).astype(jnp.int32)
 
 
 def _walk_kernel(band, n, m, n_words, rows_blk, codes_ref, moves_ref, len_ref,
@@ -145,25 +147,17 @@ def _walk_kernel(band, n, m, n_words, rows_blk, codes_ref, moves_ref, len_ref,
         len_ref[0, 0, 0] = t
 
 
-@partial(jax.jit, static_argnames=("band", "n", "m", "interpret"))
-def backtrack_banded_pallas_batch(
-    cost_band: jnp.ndarray, band: int, n: int, m: int,
-    interpret: bool = False,
-):
-    """Batched drop-in for vmap(dtw._backtrack_banded):
-    [B, n+1, 2*band+1] -> (qs, rs, cs, length) with qs/rs/cs [B, n+m]
-    (start -> end order, padded by repeating the first point)."""
-    w = 2 * band + 1
-    b = cost_band.shape[0]
-    codes = _move_codes(cost_band, band, n, m)
-    n_words_row = codes.shape[-1]
-    rows_blk = _rows_blk(band)
+def _walk_moves(codes_words, band, n, m, interpret):
+    """SMEM walk over packed code words [B, n+1, words] ->
+    (moves [B, n_words], length [B])."""
+    b, rows, n_words_row = codes_words.shape
+    rows_blk = _rows_blk(band, n_words_row)
     n_seg = (n + 1 + rows_blk - 1) // rows_blk
-    codes = jnp.pad(codes, ((0, 0), (0, n_seg * rows_blk - (n + 1)), (0, 0)))
-
+    codes = jnp.pad(
+        codes_words, ((0, 0), (0, n_seg * rows_blk - rows), (0, 0))
+    )
     max_len = n + m
     n_words = (max_len + 15) // 16
-
     moves, length = pl.pallas_call(
         partial(_walk_kernel, band, n, m, n_words, rows_blk),
         grid=(b, n_seg),
@@ -190,11 +184,15 @@ def backtrack_banded_pallas_batch(
         scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
         interpret=interpret,
     )(codes)
-    moves = moves[:, 0, :]
-    length = length[:, 0, 0]
+    return moves[:, 0, :], length[:, 0, 0]
 
-    # ---- vectorized reconstruction (XLA) ----
-    # unpack the move sequence: step t lives in word t>>4, bits 2*(t&15)
+
+def _reconstruct(moves, length, band, n, m, cost_at):
+    """Integrate the packed move sequence into path indices and
+    per-step local costs. `cost_at(i_seq, k_seq)` gathers cost band
+    values (orientation-specific)."""
+    max_len = n + m
+    w = 2 * band + 1
     tt = jnp.arange(max_len)
     code_seq = (moves[:, tt >> 4] >> (2 * (tt & 15))[None, :]) & 3
     di = jnp.where(code_seq == 1, 0, 1)
@@ -206,9 +204,8 @@ def backtrack_banded_pallas_batch(
     rs = (j_seq - 1).astype(jnp.int32)
     # local cost: cost(i,j) - cost(i-1,j-1); both share band column k
     k_seq = jnp.clip(j_seq - i_seq + band, 0, w - 1)
-    bb = jnp.arange(b)[:, None]
-    c_here = cost_band[bb, jnp.clip(i_seq, 0, n), k_seq]
-    c_prev = cost_band[bb, jnp.clip(i_seq - 1, 0, n), k_seq]
+    c_here = cost_at(i_seq, j_seq, k_seq)
+    c_prev = cost_at(i_seq - 1, j_seq - 1, k_seq)
     cs = jnp.where((i_seq > 0) & (j_seq > 0), c_here - c_prev, 0.0)
     # band-edge diagonal predecessors are sentinel-valued; clamp to 0
     # (same NOTE deviation as dtw._backtrack / _backtrack_banded)
@@ -226,6 +223,99 @@ def backtrack_banded_pallas_batch(
                      jnp.take_along_axis(rs, last, 1))
     cs_f = jnp.where(valid, jnp.take_along_axis(cs, src, 1), 0.0)
     return qs_f, rs_f, cs_f, length
+
+
+@partial(jax.jit, static_argnames=("band", "n", "m", "interpret"))
+def backtrack_banded_pallas_batch(
+    cost_band: jnp.ndarray, band: int, n: int, m: int,
+    interpret: bool = False,
+):
+    """Batched drop-in for vmap(dtw._backtrack_banded):
+    [B, n+1, 2*band+1] -> (qs, rs, cs, length) with qs/rs/cs [B, n+m]
+    (start -> end order, padded by repeating the first point)."""
+    b = cost_band.shape[0]
+    codes = _move_codes(cost_band, band, n, m)
+    moves, length = _walk_moves(codes, band, n, m, interpret)
+    bb = jnp.arange(b)[:, None]
+
+    def cost_at(i_seq, j_seq, k_seq):
+        return cost_band[bb, jnp.clip(i_seq, 0, n), k_seq]
+
+    return _reconstruct(moves, length, band, n, m, cost_at)
+
+
+def _move_codes_rev(cost_rev: jnp.ndarray, band: int, n: int, m: int):
+    """_move_codes on the pairs kernel's RAW reversed band (no row 0,
+    lane p = band col lanes-1-p): [B, n_pad, lanes] -> [B, n, lanes]
+    int8 codes for DP rows 1..n, still in reversed lane order."""
+    b, n_pad, lanes = cost_rev.shape
+    inf = jnp.float32(jnp.inf)
+    # ONE padded copy; cb[:, 0] is the synthetic DP row 0 (cost 0 only
+    # at j == 0, i.e. band col band -> lane lanes-1-band)
+    cb = jnp.pad(
+        cost_rev[:, :n, :], ((0, 0), (1, 0), (1, 1)), constant_values=inf
+    )                                                  # [B, n+1, lanes+2]
+    cb = cb.at[:, 0, 1 + (lanes - 1 - band)].set(0.0)
+    up = cb[:, :-1, :-2]      # DP[i-1, k+1]  (lane p-1)
+    left = cb[:, 1:, 2:]      # DP[i,   k-1]  (lane p+1)
+    diag = cb[:, :-1, 1:-1]   # DP[i-1, k]    (lane p)
+    pick_left = left < up
+    pick_diag = (diag < up) & (diag < left)
+    code = jnp.where(
+        pick_diag, jnp.int8(2), jnp.where(pick_left, jnp.int8(1), jnp.int8(0))
+    )
+    # border: j == 0 -> only i decreases; j = (r+1) - band + (lanes-1-p)
+    rr = jnp.arange(1, n + 1)[None, :, None]
+    pp = jnp.arange(lanes)[None, None, :]
+    jj = rr - band + (lanes - 1 - pp)
+    return jnp.where(jj == 0, jnp.int8(0), code)
+
+
+@partial(jax.jit, static_argnames=("band", "n", "m", "interpret"))
+def backtrack_banded_pallas_rev(
+    cost_rev: jnp.ndarray, band: int, n: int, m: int,
+    interpret: bool = False,
+):
+    """Backtrack directly from the pairs fill kernel's RAW output
+    (pallas_dtw.fill_banded_pallas_scan_pairs_raw): reversed lane order,
+    no prepended row 0.
+
+    Equivalent to `backtrack_banded_pallas_batch` on the un-reversed
+    band — but skips the multi-GB un-reverse/slice/row0-concat passes
+    (the move codes and the path-cost gathers read the reversed band
+    in place; ~90 ms combined per 8 pairs at the 60 s lag budget,
+    device trace)."""
+    b, n_pad, lanes = cost_rev.shape
+    w = 2 * band + 1
+    codes_rev = _move_codes_rev(cost_rev, band, n, m)
+
+    # pack int8 codes (reversed lanes) into natural-order int32 words:
+    # natural k = lanes-1-p, so word g of the natural order is the
+    # WITHIN-GROUP-FLIPPED group (n_groups-1-g) of the reversed order —
+    # the within-group flip folds into the shift table, the group flip
+    # is one cheap reverse on the small words axis.
+    groups = lanes // 16
+    cr = codes_rev.reshape(b, n, groups, 16)
+    shifts = (2 * (15 - jnp.arange(16, dtype=jnp.int32)))[None, None, None, :]
+    words_rev = jnp.sum(cr.astype(jnp.int32) << shifts, axis=-1)
+    words_nat = words_rev[:, :, ::-1]                  # [B, n, groups]
+    # DP row 0: only j decreases (code 1 in all 16 slots per word)
+    row0 = jnp.full((b, 1, groups), 0x55555555, jnp.int32)
+    codes_words = jnp.concatenate([row0, words_nat], axis=1)
+
+    moves, length = _walk_moves(codes_words, band, n, m, interpret)
+    bb = jnp.arange(b)[:, None]
+    big = jnp.float32(3.4e38 / 4)
+
+    def cost_at(i_seq, j_seq, k_seq):
+        # cost_rev row r holds DP row r+1 at lane lanes-1-k; DP row 0 is
+        # synthetic: cost[0, j] = 0 iff j == 0 (k == band) else BIG
+        p_seq = (lanes - 1) - k_seq
+        vals = cost_rev[bb, jnp.clip(i_seq - 1, 0, n_pad - 1), p_seq]
+        row0_val = jnp.where(j_seq == 0, 0.0, big)
+        return jnp.where(i_seq >= 1, vals, row0_val)
+
+    return _reconstruct(moves, length, band, n, m, cost_at)
 
 
 def backtrack_banded_pallas(

@@ -85,6 +85,13 @@ def chroma_from_magnitude(
         magnitude * magnitude, fold.T, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    return chroma_normalize(energy)
+
+
+def chroma_normalize(energy: jnp.ndarray) -> jnp.ndarray:
+    """Unit-sum normalization tail of the chroma fold ([..., 12] energy
+    -> chromagram), shared with the Pallas STFT feature-epilogue path
+    (which computes the same HIGHEST-precision fold matmul in-kernel)."""
     total = jnp.sum(energy, axis=-1, keepdims=True)
     return jnp.where(total > _EPS, energy / jnp.maximum(total, _EPS), energy)
 

@@ -71,3 +71,33 @@ def frame_times(
 ) -> np.ndarray:
     """Frame center start-times in seconds (host-side metadata)."""
     return (np.arange(t) * hop_size) / float(sample_rate)
+
+
+# ---------------------------------------------------------------------
+# Shared flattened-signal prep for the Pallas frame kernels
+# ---------------------------------------------------------------------
+
+# Pad quantum for the flattened per-row signal the Pallas STFT/YIN
+# kernels DMA from. Large enough that pad_to depends on the signal
+# length ONLY (not on each kernel's tile geometry): every supported
+# geometry's per-tile slack (tile*hop + window <= 256*512 + 2048) fits
+# inside one quantum. Two kernels over the same signal then build
+# BYTE-IDENTICAL padded flat arrays, so XLA CSEs the pad + 1-D-relayout
+# chain (two ~4.2 ms/step chains at B=128 x 30 s became one, device
+# trace).
+PAD_QUANTUM = 262144
+
+
+def flatten_padded_rows(signal, lead: int):
+    """[B, N] f32 -> (flat [B * row_stride], pad_to, row_stride) with
+    `lead` zeros before and pad_to - N zeros after each row; row_stride
+    = pad_to + lead is a multiple of 1024 (kernel DMA slices stay
+    1024-aligned). Callers must assert their per-tile reach fits:
+    (n_tiles - 1) * tile * hop + slice_len <= pad_to."""
+    import jax.numpy as jnp
+
+    b, n = signal.shape
+    pad_to = (n // PAD_QUANTUM + 2) * PAD_QUANTUM
+    sig = jnp.pad(signal, ((0, 0), (lead, pad_to - n)))
+    row_stride = pad_to + lead
+    return sig.reshape(b * row_stride), pad_to, row_stride

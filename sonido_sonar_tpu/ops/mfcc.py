@@ -88,6 +88,14 @@ def mfcc(
         power, fb.T, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    return mfcc_from_mel(mel_spec, params)
+
+
+def mfcc_from_mel(mel_spec: jnp.ndarray, params: MFCCParams = MFCCParams()) -> jnp.ndarray:
+    """log -> DCT-II -> lifter tail of `mfcc` over precomputed mel
+    energies [..., M] (e.g. the Pallas STFT feature-epilogue's mel lanes,
+    which run the same HIGHEST-precision filterbank matmul in-kernel)."""
+    dct = jnp.asarray(dct_matrix(params.num_coefficients, params.num_mel_filters))
     log_mel = jnp.log(jnp.maximum(mel_spec, _LOG_FLOOR))
     coeffs = jnp.matmul(
         log_mel, dct.T, preferred_element_type=jnp.float32,

@@ -121,11 +121,16 @@ def _yin_pallas_common(signal, window_size, hop_size, lead=0):
     tile = _FRAME_TILE
     n_tiles = _cdiv(t, tile)
     slice_len = tile * hop_size + w
-    pad_to = (n_tiles - 1) * tile * hop_size + slice_len
-    pad_to = _cdiv(max(pad_to, n), 1024) * 1024
-    sig = jnp.pad(signal.astype(jnp.float32), ((0, 0), (lead, pad_to - n)))
-    row_stride = pad_to + lead
-    return sig.reshape(b * row_stride), b, t, n_tiles, slice_len, row_stride
+    # geometry-independent padding so this flat signal is byte-identical
+    # to the STFT kernel's over the same input — XLA CSEs the pad +
+    # 1-D-relayout chain (framing.flatten_padded_rows)
+    from sonido_sonar_tpu.ops.framing import flatten_padded_rows
+
+    sig, pad_to, row_stride = flatten_padded_rows(
+        signal.astype(jnp.float32), lead
+    )
+    assert (n_tiles - 1) * tile * hop_size + slice_len <= pad_to
+    return sig, b, t, n_tiles, slice_len, row_stride
 
 
 def _d_from_frames(frames, mxh_ref, mxl_ref, mih_ref, mil_ref, band_ref,

@@ -589,3 +589,21 @@ def spectral_descriptor_bundle(
     if not skip_rolloff:
         out["spectral_rolloff"] = rolloff
     return out
+
+
+def descriptors_from_feat(feat: jnp.ndarray) -> dict:
+    """spectral_descriptor_bundle's outputs (minus flux/rolloff) from the
+    Pallas STFT feature-epilogue lanes ([..., T, 64] laid out per
+    ops.pallas_stft.FEAT_LANES). The kernel already FINISHED the
+    descriptor math in-kernel (same expressions and masks as the bundle;
+    the moment sums accumulate in tiered-precision MXU matmuls, and
+    bandwidth uses the moment expansion f2m - fm^2/m_sum with HIGHEST
+    moments — see pallas_stft._feature_weight_mats); this just slices
+    the lanes out."""
+    from sonido_sonar_tpu.ops.pallas_stft import FEAT_LANES
+
+    return {
+        k: feat[..., idx]
+        for k, idx in FEAT_LANES.items()
+        if isinstance(idx, int)
+    }

@@ -68,6 +68,28 @@ def batched_fingerprint_features(
     )
 
     use_pallas = pallas_stft_available(window_size, hop_size)
+    # The in-kernel feature epilogue (mel + chroma fold + finished
+    # descriptors from the STFT kernel's VMEM magnitudes) is OFF by
+    # default: a measured NEGATIVE result at B=128 x 30 s on v5e —
+    # 203.2/206.0 ms/step ON vs 200.1/200.9 ms OFF, same harness,
+    # interleaved A/B. The device trace shows why: the XLA bundle +
+    # mel/chroma work it absorbs is only ~5 ms/step after the round-3
+    # layout fixes, less than the epilogue's ~5 ms of extra in-kernel
+    # matmul passes (14 bf16 [F, 64] passes/tile); the real post-STFT
+    # churn is spectral contrast's sort pipeline (~45 ms/step),
+    # which no magnitude-pass fusion can absorb (docs/PERF.md). The
+    # kernel stays available (SONIDO_ENABLE_FEAT_EPILOGUE=1, read at
+    # trace time) with full interpret-mode parity tests; it wins only
+    # for configs that skip contrast+flux but keep mel/chroma (then
+    # the magnitude never re-enters HBM math at all).
+    import os
+
+    use_feat = (
+        use_pallas
+        and bool(os.environ.get("SONIDO_ENABLE_FEAT_EPILOGUE"))
+        and MFCCParams(num_coefficients=mfcc_coefficients).num_mel_filters
+        == 26
+    )
     out: Dict[str, jnp.ndarray] = {}
     if use_pallas:
         # fused framing+DFT+magnitude kernel with the aux epilogue: the
@@ -77,29 +99,55 @@ def batched_fingerprint_features(
         # matmul instead of HBM-resident bf16 splits. Pre-emphasis is
         # fused too (pre_emph): the pre-emphasized [B, N] signal never
         # exists in HBM either (saved ~7 ms/step of filter fusion +
-        # layout copies at B=128 x 30 s, device trace).
+        # layout copies at B=128 x 30 s, device trace). with_features
+        # additionally emits mel + chroma-fold energies and the
+        # descriptor bundle's moment sums from four in-kernel HIGHEST
+        # matmuls, so the magnitude tensor is only re-read by flux and
+        # contrast below.
         x = None
-        mag, aux = stft_magnitude_pallas(
+        res = stft_magnitude_pallas(
             pcm.astype(jnp.float32), window_size, hop_size, window_type,
             with_aux=True, pre_emph=pre_emphasis_coeff,
+            with_features=use_feat, sample_rate=sample_rate,
         )
+        if use_feat:
+            mag, aux, feat = res
+        else:
+            mag, aux = res
     else:
         x = pre_emphasis(pcm.astype(jnp.float32), pre_emphasis_coeff)
         mag = stft(x, window_size, hop_size, window_type, sample_rate).magnitude
 
-    out["mfcc"] = mfcc(
-        mag, sample_rate, window_size, MFCCParams(num_coefficients=mfcc_coefficients)
-    )
-    if enable_chroma:
-        out["chroma"] = chroma_from_magnitude(mag, sample_rate, window_size)
+    if use_feat:
+        from sonido_sonar_tpu.ops.mfcc import mfcc_from_mel
+        from sonido_sonar_tpu.ops.pallas_stft import FEAT_LANES
 
-    # shared-pass descriptor bundle: ~4 reads of the magnitude tensor
-    # instead of ~10 (values identical to the standalone functions)
-    out.update(
-        S.spectral_descriptor_bundle(
-            mag, sample_rate, skip_rolloff=use_pallas
+        lo, hi = FEAT_LANES["mel"]
+        out["mfcc"] = mfcc_from_mel(
+            feat[..., lo:hi], MFCCParams(num_coefficients=mfcc_coefficients)
         )
-    )
+        if enable_chroma:
+            clo, chi = FEAT_LANES["chroma"]
+            out["chroma"] = feat[..., clo:chi]
+        out.update(S.descriptors_from_feat(feat))
+        from sonido_sonar_tpu.ops.stft import spectral_flux
+
+        out["spectral_flux"] = spectral_flux(mag)
+    else:
+        out["mfcc"] = mfcc(
+            mag, sample_rate, window_size,
+            MFCCParams(num_coefficients=mfcc_coefficients),
+        )
+        if enable_chroma:
+            out["chroma"] = chroma_from_magnitude(mag, sample_rate, window_size)
+
+        # shared-pass descriptor bundle: ~4 reads of the magnitude tensor
+        # instead of ~10 (values identical to the standalone functions)
+        out.update(
+            S.spectral_descriptor_bundle(
+                mag, sample_rate, skip_rolloff=use_pallas
+            )
+        )
     if enable_contrast:
         out["spectral_contrast"] = S.spectral_contrast(mag, sample_rate, 6)
 

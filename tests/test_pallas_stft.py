@@ -143,3 +143,68 @@ def test_fused_pre_emphasis_interpret():
             np.asarray(aux_got[key]), np.asarray(aux_ref[key]), rtol=1e-5,
             atol=1e-4, err_msg=key,
         )
+
+
+def test_feature_epilogue_interpret():
+    """with_features lanes reproduce mel energies, the normalized
+    chromagram, and every descriptor-bundle output computed by the XLA
+    functions on the SAME kernel magnitudes (4 s / batch 2 so the tile
+    boundary case n_tiles >= 2 is exercised)."""
+    from sonido_sonar_tpu.ops.mel import apply_filterbank, mel_filterbank
+    from sonido_sonar_tpu.ops.mfcc import MFCCParams, mfcc_from_mel, mfcc
+    from sonido_sonar_tpu.ops.pallas_stft import FEAT_LANES
+    from sonido_sonar_tpu.ops.spectral import (
+        descriptors_from_feat,
+        spectral_descriptor_bundle,
+    )
+
+    x = (
+        sine(440, 4.0, SR)
+        + 0.3 * sine(1234.5, 4.0, SR)
+        + white_noise(4.0, SR, 0.05)
+    ).astype(np.float32)
+    xb = jnp.asarray(np.stack([x, x * 0.3]))
+    mag, aux, feat = stft_magnitude_pallas(
+        xb, 1024, 256, interpret=True, with_aux=True, with_features=True,
+        sample_rate=SR, pre_emph=0.97,
+    )
+    assert feat.shape == mag.shape[:-1] + (64,)
+
+    # mel lanes == HIGHEST filterbank matmul on the kernel magnitudes
+    # (kernel: bf16 hi/lo 3-pass, ~1.5e-5 relative)
+    fb = mel_filterbank(26, 1024, SR, 0.0, SR / 2.0)
+    mel_ref = np.asarray(apply_filterbank(mag * mag, fb))
+    lo, hi = FEAT_LANES["mel"]
+    np.testing.assert_allclose(
+        np.asarray(feat[..., lo:hi]), mel_ref, rtol=1e-4, atol=1e-7
+    )
+    # ... and the MFCC tail over them matches mfcc(mag)
+    got_mfcc = np.asarray(mfcc_from_mel(feat[..., lo:hi], MFCCParams()))
+    ref_mfcc = np.asarray(mfcc(mag, SR, 1024, MFCCParams()))
+    np.testing.assert_allclose(got_mfcc, ref_mfcc, atol=2e-3)
+
+    # chroma lanes == normalized chromagram
+    from sonido_sonar_tpu.ops.chroma import chroma_from_magnitude
+
+    clo, chi = FEAT_LANES["chroma"]
+    ref_ch = np.asarray(chroma_from_magnitude(mag, SR, 1024))
+    np.testing.assert_allclose(
+        np.asarray(feat[..., clo:chi]), ref_ch, rtol=1e-3, atol=2e-5
+    )
+
+    # finished in-kernel descriptors == the bundle on the same magnitudes
+    got_d = {k: np.asarray(v) for k, v in descriptors_from_feat(feat).items()}
+    ref_d = spectral_descriptor_bundle(mag, SR)
+    for k in got_d:
+        ref = np.asarray(ref_d[k])
+        scale = np.maximum(np.abs(ref), 1.0)
+        np.testing.assert_allclose(
+            got_d[k] / scale, ref / scale, atol=2e-3,
+            err_msg=f"descriptor {k}",
+        )
+    # bandwidth via the moment expansion (HIGHEST moments): loose only
+    # where ref ~ 0
+    np.testing.assert_allclose(
+        got_d["spectral_bandwidth"], np.asarray(ref_d["spectral_bandwidth"]),
+        rtol=1e-3, atol=2.0,
+    )

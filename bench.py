@@ -451,6 +451,46 @@ def main() -> None:
         file=sys.stderr, flush=True,
     )
 
+    # secondary: LatencyMonitor.measure() — the reference's headline job
+    # (README.md:4-5 "benchmark CDN stream end-to-end latency") as the
+    # user calls it (VERDICT r3 item #5). 60 s rolling windows, 30 s lag
+    # budget, refine=True (GCC-PHAT exact-sample sharpening). measure()
+    # returns a host dataclass, so wall clock IS the fence. Capacity: a
+    # production monitor measures each stream every ~10 s, so one chip
+    # sustains interval/wall concurrent streams.
+    from sonido_sonar_tpu.monitor import LatencyMonitor
+
+    mon = LatencyMonitor(
+        FeatureConfig(sample_rate=sr, window_size=1024, hop_size=256),
+        window_seconds=60.0, max_lag_seconds=30.0,
+    )
+    lag_s = 1.237
+    src60 = np.asarray(rng.standard_normal(60 * sr), dtype=np.float32) * 0.1
+    env = np.repeat(
+        rng.uniform(0.1, 1.0, 360), len(src60) // 360
+    ).astype(np.float32)
+    src60 *= env
+    cdn60 = np.concatenate(
+        [np.zeros(int(lag_s * sr), np.float32), src60]
+    )[: len(src60)] * 0.9
+    mon.push_source(src60)
+    mon.push_cdn(cdn60)
+    m0 = mon.measure(refine=True)  # warmup/compile
+    t0 = time.perf_counter()
+    mon_iters = 5
+    for _ in range(mon_iters):
+        m0 = mon.measure(refine=True)
+    t_mon = (time.perf_counter() - t0) / mon_iters
+    streams = int(10.0 / t_mon)
+    print(
+        f"[bench] monitor: {t_mon*1000:.1f} ms per measure() "
+        f"(60s windows, 30s budget, refine=phat; measured "
+        f"{m0.latency_s:+.4f}s vs injected +{lag_s:.4f}s, "
+        f"conf {m0.confidence:.2f}) -> ~{streams} concurrent streams/chip "
+        f"at a 10s cadence",
+        file=sys.stderr, flush=True,
+    )
+
     # secondary: device-side batched comparator throughput (VERDICT r1
     # item #2): one query scored against a large packed corpus
     from sonido_sonar_tpu.fingerprint.device_compare import (

@@ -103,17 +103,28 @@ def shard_over_batch(fn, mesh: Mesh, axis: str = "data"):
 
     `fn` takes positional arrays whose leading axis is the batch and
     returns an array / tuple / dict of arrays with leading batch axes.
+
+    The shard_map is built ONCE per arity and wrapped in jax.jit: an
+    un-jitted shard_map executes eagerly — every primitive inside is
+    dispatched to the mesh one at a time and the body is re-traced on
+    every call. The weak-scaling probe (tools/weak_scaling.py) measured
+    that as a 47x work inflation at n=2 on the virtual CPU mesh; with
+    the jit cache the same program is within noise of perfectly sharded.
     """
     spec = P(axis)
+    _jitted = {}
 
     def wrapped(*args):
-        inner = lambda *xs: fn(*xs)
         n_in = len(args)
-        return jax.shard_map(
-            inner, mesh=mesh,
-            in_specs=(spec,) * n_in,
-            out_specs=spec,
-            check_vma=False,
-        )(*args)
+        if n_in not in _jitted:
+            _jitted[n_in] = jax.jit(
+                jax.shard_map(
+                    lambda *xs: fn(*xs), mesh=mesh,
+                    in_specs=(spec,) * n_in,
+                    out_specs=spec,
+                    check_vma=False,
+                )
+            )
+        return _jitted[n_in](*args)
 
     return wrapped

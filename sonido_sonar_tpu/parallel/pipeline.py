@@ -469,6 +469,14 @@ class BatchedFingerprintPipeline:
     def __call__(self, pcm_batch) -> Dict[str, jnp.ndarray]:
         sharding = NamedSharding(self.mesh, P(self.axis))
         pcm = jax.device_put(jnp.asarray(pcm_batch, dtype=jnp.float32), sharding)
+        return self._step_fn()(pcm)
+
+    def _step_fn(self):
+        # built once per pipeline so repeated calls reuse the jitted
+        # shard_map executable instead of re-tracing (weak-scaling fix)
+        cached = getattr(self, "_cached_step", None)
+        if cached is not None:
+            return cached
         cfg = self.config
 
         def step(x):
@@ -490,8 +498,11 @@ class BatchedFingerprintPipeline:
             # mesh.shard_over_batch)
             from sonido_sonar_tpu.parallel.mesh import shard_over_batch
 
-            return shard_over_batch(step, self.mesh, self.axis)(pcm)
-        return step(pcm)
+            fn = shard_over_batch(step, self.mesh, self.axis)
+        else:
+            fn = step
+        object.__setattr__(self, "_cached_step", fn)
+        return fn
 
 
 @partial(jax.jit, static_argnames=("max_lag",))

@@ -274,20 +274,47 @@ def spectral_contrast(
         width = hi - lo
         k = max(int(0.2 * width), 1)
         if width > _SORT_CLIFF:
-            # one full sort per first-level chunk serves BOTH ends; the
-            # candidate merges then recurse so no sort (merge included)
-            # ever exceeds the cliff (ADVICE r3 #2: at F>=1025 the
-            # widest band's merge input itself passed 224 sublanes)
-            tops, bots = [], []
-            for c0, cw in _chunks(width):
-                kk = min(k, cw)
-                s = _desc(band[..., c0 : c0 + cw, :], cw)
-                tops.append(s[..., :kk, :])
-                bots.append(s[..., cw - kk :, :])
-            top = _topk_rec(jnp.concatenate(tops, axis=axis), k)
-            bot = _botk_rec(jnp.concatenate(bots, axis=axis), k)
-            peak = jnp.mean(top, axis=axis)
-            valley = jnp.mean(bot, axis=axis)
+            chunks = _chunks(width)
+            if len(chunks) == 2 and all(k <= cw for _, cw in chunks):
+                # split-max merge (v5e trace, B=128 x 30 s: the merge
+                # RE-SORTS of the widest band's candidates plus their
+                # pad/layout fusions were ~7 ms/step): only the MEANS of
+                # the top/bottom k are consumed, and for two sorted
+                # chunks sum(top-k of union) = max_m prefA[m]+prefB[k-m]
+                # (every m is a sum of SOME k elements <= the true top-k
+                # sum, and the true selection takes some m from A) —
+                # prefix sums + one shifted add + a max over k+1
+                # sublanes, no second sort. Bottom-k analogously with a
+                # min over ascending prefixes.
+                prefs_t, prefs_b = [], []
+                for c0, cw in chunks:
+                    s = _desc(band[..., c0 : c0 + cw, :], cw)
+                    top = s[..., :k, :]           # desc
+                    bot_asc = jnp.flip(s[..., cw - k :, :], axis=axis)
+                    z = jnp.zeros_like(s[..., :1, :])
+                    prefs_t.append(jnp.concatenate(
+                        [z, jnp.cumsum(top, axis=axis)], axis=axis))
+                    prefs_b.append(jnp.concatenate(
+                        [z, jnp.cumsum(bot_asc, axis=axis)], axis=axis))
+                cand_t = prefs_t[0] + jnp.flip(prefs_t[1], axis=axis)
+                cand_b = prefs_b[0] + jnp.flip(prefs_b[1], axis=axis)
+                peak = jnp.max(cand_t, axis=axis) / float(k)
+                valley = jnp.min(cand_b, axis=axis) / float(k)
+            else:
+                # 3+ chunks (F >= 1025): one full sort per first-level
+                # chunk serves BOTH ends; the candidate merges then
+                # recurse so no sort (merge included) ever exceeds the
+                # cliff (ADVICE r3 #2)
+                tops, bots = [], []
+                for c0, cw in chunks:
+                    kk = min(k, cw)
+                    s = _desc(band[..., c0 : c0 + cw, :], cw)
+                    tops.append(s[..., :kk, :])
+                    bots.append(s[..., cw - kk :, :])
+                top = _topk_rec(jnp.concatenate(tops, axis=axis), k)
+                bot = _botk_rec(jnp.concatenate(bots, axis=axis), k)
+                peak = jnp.mean(top, axis=axis)
+                valley = jnp.mean(bot, axis=axis)
         elif width >= 64:
             # ONE full descending sort serves both ends (approx_max_k +
             # approx_min_k at recall 1.0 EACH lower to a full sort).

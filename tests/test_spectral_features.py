@@ -140,11 +140,12 @@ def test_vad_and_segments():
 
 def test_contrast_chunked_merge_exact_wide_spectra():
     """The chunked sort path (band width > _SORT_CLIFF) must be exact at
-    EVERY window size, including F >= 1025 where the candidate merge
-    itself exceeds the cliff and recurses (ADVICE r3 #2). Oracle: means
-    of a brute-force numpy full sort per band."""
+    EVERY window size: F=513 exercises the 2-chunk split-max prefix
+    merge (production widest band, 278 wide), F >= 1025 the recursive
+    candidate merge (ADVICE r3 #2). Oracle: means of a brute-force
+    numpy full sort per band."""
     rng = np.random.default_rng(7)
-    for f_bins in (1025, 2049):
+    for f_bins in (513, 1025, 2049):
         mag = jnp.asarray(
             rng.standard_normal((5, f_bins)).astype(np.float32) ** 2
         )

@@ -33,3 +33,9 @@ from sonido_sonar_tpu.config import (  # noqa: F401
     FeatureConfig,
     FingerprintConfig,
 )
+
+from sonido_sonar_tpu.monitor import (  # noqa: F401
+    FleetMonitor,
+    LatencyMeasurement,
+    LatencyMonitor,
+)

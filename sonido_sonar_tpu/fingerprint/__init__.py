@@ -5,7 +5,12 @@ Reference parity: fingerprint/*.go top level.
 
 from sonido_sonar_tpu.fingerprint.generator import (  # noqa: F401
     AudioFingerprint,
+    FingerprintBatch,
     FingerprintGenerator,
+)
+from sonido_sonar_tpu.fingerprint.batching import (  # noqa: F401
+    AudioBucket,
+    batch_audios,
 )
 from sonido_sonar_tpu.fingerprint.content_detector import (  # noqa: F401
     AcousticFeatures,

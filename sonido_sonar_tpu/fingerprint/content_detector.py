@@ -141,6 +141,10 @@ def batched_acoustic_features_device(pcm, sample_rate: int):
     (content_detector.go:120-152) in device float32; parity asserted in
     tests/test_generate_batch.py (feature tolerance + classification
     equality)."""
+    return _acoustic_program(pcm, sample_rate)
+
+
+def _make_acoustic_program():
     import jax
     from functools import partial as _partial
 
@@ -270,7 +274,13 @@ def batched_acoustic_features_device(pcm, sample_rate: int):
             axis=-1,
         )
 
-    return _program(pcm, sample_rate)
+    return _program
+
+
+# module-level jit: building the jit object per call would RE-TRACE the
+# whole program every call (~60-90 ms of host time through the tunnel,
+# measured in the round-5 generate-batch stage breakdown, docs/PERF.md)
+_acoustic_program = _make_acoustic_program()
 
 
 class ContentDetector:

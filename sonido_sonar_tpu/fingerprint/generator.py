@@ -16,6 +16,7 @@ the batched pipeline's throughput (bench.py `[bench] generate-batch`).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import time
 from dataclasses import dataclass, field
@@ -57,6 +58,13 @@ def generate_id(audio: AudioData) -> str:
         f"{time.time_ns()}_{len(audio.pcm)}_{audio.sample_rate}".encode()
     )
     return h.hexdigest()[:16]
+
+
+@functools.lru_cache(maxsize=64)
+def _stack_program(b: int, n: int):
+    """Jitted [b x [n]] -> [b, n] stack, cached per geometry (one
+    compiled dispatch instead of b+1 eager concatenate ops)."""
+    return jax.jit(lambda xs: jnp.stack(xs).astype(jnp.float32))
 
 
 @dataclass
@@ -237,27 +245,55 @@ class FingerprintGenerator:
         self._add_metadata(fp, audio, extractor)
         return fp
 
-    def _prepare_batch(self, audios) -> jnp.ndarray:
+    def _prepare_batch(self, audios, pcm_matrix=None) -> jnp.ndarray:
         """Validate and stack a batch to one [B, N] device array (a
-        single H2D upload; pre-uploaded device PCM passes through)."""
+        single H2D upload; pre-uploaded device PCM passes through).
+
+        pcm_matrix: optional pre-stacked [B, N] array (device or host) —
+        validated against the batch and used as-is, skipping the stack
+        entirely (the zero-copy fast path for corpus pipelines that
+        already hold the batch as one tensor; fingerprint.batch_audios
+        produces padded buckets in this form, so clips may be SHORTER
+        than N — row i must hold audios[i].pcm zero-padded to N)."""
         sr = audios[0].sample_rate
         n = len(audios[0].pcm)
         for a in audios:
             if a is None or len(a.pcm) == 0:
                 raise ValueError("audio data cannot be empty")
-            if a.sample_rate != sr or len(a.pcm) != n:
+            if a.sample_rate != sr:
                 raise ValueError(
-                    "generate_fingerprints_batch requires equal-length, "
-                    "same-rate clips; group or pad upstream"
+                    "generate_fingerprints_batch requires same-rate clips; "
+                    "group upstream (fingerprint.batch_audios)"
                 )
+            if pcm_matrix is None and len(a.pcm) != n:
+                raise ValueError(
+                    "generate_fingerprints_batch requires equal-length "
+                    "clips; group or pad upstream "
+                    "(fingerprint.batch_audios buckets a mixed corpus)"
+                )
+        if pcm_matrix is not None:
+            if pcm_matrix.ndim != 2 or pcm_matrix.shape[0] != len(audios) \
+                    or any(len(a.pcm) > pcm_matrix.shape[1] for a in audios):
+                raise ValueError(
+                    f"pcm_matrix shape {tuple(pcm_matrix.shape)} does not "
+                    f"cover the batch (need [{len(audios)}, >=max clip len])"
+                )
+            if isinstance(pcm_matrix, jnp.ndarray):
+                return pcm_matrix.astype(jnp.float32)
+            return jnp.asarray(np.asarray(pcm_matrix, dtype=np.float32))
         if isinstance(audios[0].pcm, jnp.ndarray):
-            return jnp.stack([a.pcm for a in audios])
+            # ONE jitted stack program: an eager jnp.stack over B
+            # per-clip device rows dispatches ~B+1 ops through the
+            # remote tunnel (~72 ms at B=128, round-5 stage breakdown)
+            return _stack_program(len(audios), n)(
+                tuple(a.pcm for a in audios)
+            )
         return jnp.asarray(
             np.stack([np.asarray(a.pcm, dtype=np.float32) for a in audios])
         )
 
     def generate_fingerprints_batch(
-        self, audios, materialize: bool = True
+        self, audios, materialize: bool = True, pcm_matrix=None
     ):
         """Batched GenerateFingerprint for same-rate, equal-length clips.
 
@@ -274,11 +310,16 @@ class FingerprintGenerator:
         materialize=False: returns a FingerprintBatch whose features
         stay on device for corpus pipelines (device comparator packing,
         batched alignment); call .materialize() for the list form.
+
+        pcm_matrix: optional pre-stacked [B, N] array holding the same
+        PCM as `audios` (row i == audios[i].pcm) — skips the stack
+        program entirely (utils.batch_audios produces buckets in this
+        form).
         """
         if not audios:
             return [] if materialize else FingerprintBatch([], [])
         sr = audios[0].sample_rate
-        pcm_all = self._prepare_batch(audios)
+        pcm_all = self._prepare_batch(audios, pcm_matrix)
         ctypes = self._detect_content_types_batch(audios, pcm_all)
 
         fingerprints: List[Optional[AudioFingerprint]] = [None] * len(audios)
@@ -323,6 +364,28 @@ class FingerprintGenerator:
         if materialize:
             return batch.materialize()
         return batch
+
+    def generate_fingerprints_mixed(self, audios) -> List[AudioFingerprint]:
+        """GenerateFingerprint over ANY corpus — mixed lengths, mixed
+        sample rates — restoring input order (the reference API takes
+        any clip, fingerprint.go:137; fixed TPU shapes are handled by
+        power-of-two bucketing, fingerprint/batching.batch_audios).
+
+        Each bucket runs the batched path on its padded [G, N] matrix;
+        zero padding only extends a clip's silent tail (see
+        batching.py's padding-semantics note). Fingerprint metadata
+        (duration, IDs) reflects the original clips.
+        """
+        from sonido_sonar_tpu.fingerprint.batching import batch_audios
+
+        out: List[Optional[AudioFingerprint]] = [None] * len(audios)
+        for bucket in batch_audios(audios):
+            fps = self.generate_fingerprints_batch(
+                bucket.audios, pcm_matrix=bucket.pcm_matrix
+            )
+            for i, fp in zip(bucket.indices, fps):
+                out[i] = fp
+        return out
 
     def _add_metadata(
         self, fp: AudioFingerprint, audio: AudioData, extractor,

@@ -565,6 +565,7 @@ def batched_align_audio(
     refine: bool = False,
     energy_impl: str = "framed",
     verify: bool = None,
+    max_offset_samples: int = 0,
 ) -> Dict[str, np.ndarray]:
     """AlignAudio for B pairs (alignment.go:109-130): short-time RMS
     energy series -> batched hybrid alignment; optional fused GCC-PHAT
@@ -589,6 +590,12 @@ def batched_align_audio(
       - True: verify every pair.
     Adds output fields: `verified` [B] bool (PCM pass applied),
     `verify_margin` [B] (0 where not verified).
+
+    max_offset_samples bounds |offset| for the PHAT verification and
+    refinement windows (static). The helpers default it to N//4, which
+    silently clips larger coarse offsets — pass ~the max-lag budget when
+    max_lag_seconds exceeds a quarter of the window (the monitor's 30 s
+    budget on 60 s windows).
     """
     from sonido_sonar_tpu.ops.stats.alignment import (
         _AMBIGUITY_ONSET,
@@ -669,7 +676,7 @@ def batched_align_audio(
         refined, peaks = jax.device_get(
             batched_phat_candidates(
                 q, r, jnp.asarray(cand, dtype=jnp.float32), sample_rate,
-                hop_size=hop_size,
+                hop_size=hop_size, max_offset_samples=max_offset_samples,
             )
         )
         refined = np.asarray(refined, dtype=np.float64)
@@ -715,6 +722,7 @@ def batched_align_audio(
         refined = batched_refine_offsets(
             q, r, jnp.asarray(out["offset_seconds"], dtype=jnp.float32),
             sample_rate, hop_size=hop_size,
+            max_offset_samples=max_offset_samples,
         )
         out["offset_seconds_refined"] = np.asarray(refined)
     return out

@@ -158,3 +158,66 @@ def test_batch_detect_cascade(clips):
     want = [det.detect_content_type(a) for a in audios]
     assert got == want
     assert got[0] == ContentType.MUSIC
+
+
+def test_batch_audios_buckets_mixed_corpus(clips, generator):
+    """batch_audios groups by (rate, pow2 length); generate_fingerprints_mixed
+    equals per-clip generation on the PADDED pcm (padding only extends the
+    silent tail — batching.py semantics note) and keeps original metadata."""
+    from sonido_sonar_tpu.fingerprint import batch_audios
+
+    music, talk, _ = clips
+    lens = [len(music), len(music) - 5000, len(talk) - 12000]
+    audios = [
+        _audio(music[: lens[0]], genre="rock"),
+        _audio(music[: lens[1]], genre="rock"),
+        _audio(talk[: lens[2]], genre="news"),
+    ]
+    buckets = batch_audios(audios, quantum=16384)
+    # all three clips land in pow2 buckets; indices cover the input
+    covered = sorted(i for b in buckets for i in b.indices)
+    assert covered == [0, 1, 2]
+    for b in buckets:
+        assert b.pcm_matrix.shape[0] == len(b.audios)
+        assert (b.pcm_matrix.shape[1] & (b.pcm_matrix.shape[1] - 1)) == 0
+        for row, a in enumerate(b.audios):
+            n = len(a.pcm)
+            assert b.valid_lengths[row] == n
+            np.testing.assert_array_equal(
+                b.pcm_matrix[row, :n], np.asarray(a.pcm, np.float32)
+            )
+            assert not b.pcm_matrix[row, n:].any()
+
+    fps = generator.generate_fingerprints_mixed(audios)
+    assert [fp is not None for fp in fps] == [True] * 3
+    for i, (fp, a) in enumerate(zip(fps, audios)):
+        # metadata reflects the ORIGINAL clip
+        assert fp.duration == pytest.approx(len(a.pcm) / SR)
+        # features equal per-clip generation on the padded pcm
+        bucket = next(b for b in buckets if i in b.indices)
+        row = bucket.indices.index(i)
+        padded = _audio(bucket.pcm_matrix[row], genre="rock" if i < 2 else "news")
+        want = generator.generate_fingerprint(padded)
+        assert fp.content_type == want.content_type
+        # cross-BATCH-SIZE comparison (bucket of 2 vs per-clip of 1):
+        # XLA tiles reductions differently per batch size, so f32
+        # threshold ops (voicing gates) may flip on isolated frames —
+        # allow <=0.5% mismatched elements per leaf at the tight tol
+        import jax
+
+        got_l = jax.tree_util.tree_leaves(fp.features)
+        want_l = jax.tree_util.tree_leaves(want.features)
+        assert len(got_l) == len(want_l)
+        for g, w in zip(got_l, want_l):
+            g = np.asarray(g, np.float64)
+            w = np.asarray(w, np.float64)
+            bad = ~np.isclose(g, w, rtol=1e-4, atol=1e-4)
+            assert bad.mean() <= 0.005, f"clip {i}: {bad.mean():.4f} mismatched"
+
+
+def test_prepare_batch_pcm_matrix_validation(generator, clips):
+    music, _, _ = clips
+    a = _audio(music, genre="rock")
+    bad = np.zeros((2, 100), np.float32)
+    with pytest.raises(ValueError):
+        generator.generate_fingerprints_batch([a], pcm_matrix=bad)

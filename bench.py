@@ -256,15 +256,23 @@ def main() -> None:
     out_h = batched_align_audio(
         src60, cdn60, sr, window_size=1024, hop_size=256,
         max_lag_seconds=30.0, energy_impl="cumsum")
-    t0 = time.perf_counter()
-    out_h = batched_align_audio(
-        src60, cdn60, sr, window_size=1024, hop_size=256,
-        max_lag_seconds=30.0, energy_impl="cumsum")
-    t_hyb = time.perf_counter() - t0
+    # median-of-5: round 3 -> 4 this line moved 36.3 -> 43.5 ms on one
+    # single-shot sample each; the path is fetch/gate-sync-bound and
+    # noisy through the remote tunnel, so report a median with N stated
+    # (VERDICT r4 item #4)
+    hyb_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out_h = batched_align_audio(
+            src60, cdn60, sr, window_size=1024, hop_size=256,
+            max_lag_seconds=30.0, energy_impl="cumsum")
+        hyb_times.append(time.perf_counter() - t0)
+    t_hyb = sorted(hyb_times)[len(hyb_times) // 2]
     accepted = int((out_h["method"] == 0).sum())
     print(
         f"[bench] batched hybrid align: {n_pairs}x60s pairs in "
-        f"{t_hyb*1000:.1f} ms = {n_pairs/t_hyb:.0f} pairs/s "
+        f"{t_hyb*1000:.1f} ms median-of-5 (best {min(hyb_times)*1000:.1f}, "
+        f"worst {max(hyb_times)*1000:.1f}) = {n_pairs/t_hyb:.0f} pairs/s "
         f"({accepted}/{n_pairs} corr-accepted)",
         file=sys.stderr,
      flush=True)
@@ -409,22 +417,31 @@ def main() -> None:
         for x_dev in inputs
     ]
 
-    def gb_step(audios):
-        fb = gen.generate_fingerprints_batch(audios, materialize=False)
+    def gb_step(audios, pcm_matrix=None):
+        fb = gen.generate_fingerprints_batch(
+            audios, materialize=False, pcm_matrix=pcm_matrix
+        )
         return fb.comparator_matrix(13)
 
     float(gb_step(audio_sets[0]).sum())  # warmup/compile
     gb_iters = 4
-    inflight = collections.deque()
-    t0 = time.perf_counter()
-    for i in range(gb_iters):
-        inflight.append(gb_step(audio_sets[i % len(audio_sets)]))
-        if len(inflight) > 1:
+
+    def _gb_loop(use_matrix: bool) -> float:
+        inflight = collections.deque()
+        t0 = time.perf_counter()
+        for i in range(gb_iters):
+            audios = audio_sets[i % len(audio_sets)]
+            pm = inputs[i % len(inputs)] if use_matrix else None
+            inflight.append(gb_step(audios, pm))
+            if len(inflight) > 1:
+                float(inflight.popleft().sum())
+        while inflight:
             float(inflight.popleft().sum())
-    while inflight:
-        float(inflight.popleft().sum())
-    t_gb = (time.perf_counter() - t0) / gb_iters
-    gb_ahh = batch * clip_seconds / t_gb
+        return (time.perf_counter() - t0) / gb_iters
+
+    t_gb = _gb_loop(False)       # 128 separate device rows (stack program)
+    t_gbm = _gb_loop(True)       # pre-stacked [B, N] (pcm_matrix fast path)
+    gb_ahh = batch * clip_seconds / t_gbm
 
     # reference point: the bare extractor program this batch routes to
     # (the >=85%-of-raw orchestration-overhead target, VERDICT r3 #1)
@@ -445,9 +462,11 @@ def main() -> None:
     t_bare = (time.perf_counter() - t0) / gb_iters
     print(
         f"[bench] generate-batch: {gb_ahh:.0f} audio-h/h/chip "
-        f"({t_gb*1000:.1f} ms per {batch}x{clip_seconds}s via public API, "
-        f"content={ct0.value}; bare extractor program {t_bare*1000:.1f} ms "
-        f"-> public/bare = {t_bare/t_gb*100:.0f}%)",
+        f"({t_gbm*1000:.1f} ms per {batch}x{clip_seconds}s via public API "
+        f"with a pre-stacked pcm_matrix, {t_gb*1000:.1f} ms from {batch} "
+        f"separate device rows, content={ct0.value}; bare extractor "
+        f"program {t_bare*1000:.1f} ms -> public/bare = "
+        f"{t_bare/t_gbm*100:.0f}% (rows: {t_bare/t_gb*100:.0f}%))",
         file=sys.stderr, flush=True,
     )
 
@@ -484,10 +503,55 @@ def main() -> None:
     streams = int(10.0 / t_mon)
     print(
         f"[bench] monitor: {t_mon*1000:.1f} ms per measure() "
-        f"(60s windows, 30s budget, refine=phat; measured "
+        f"(60s windows, 30s budget, refine=phat, device-resident "
+        f"rolling windows; measured "
         f"{m0.latency_s:+.4f}s vs injected +{lag_s:.4f}s, "
         f"conf {m0.confidence:.2f}) -> ~{streams} concurrent streams/chip "
         f"at a 10s cadence",
+        file=sys.stderr, flush=True,
+    )
+
+    # secondary: FleetMonitor — N stream pairs on one chip, ONE batched
+    # alignment pass per measure_all() (VERDICT r4 item #2b). Windows
+    # are seeded with on-device chunks (production co-located hosts
+    # push over PCIe; through this remote tunnel a host push would
+    # measure the link, not the chip). Capacity at a 10 s cadence =
+    # n_streams * 10 / t(measure_all).
+    from sonido_sonar_tpu.monitor import FleetMonitor
+
+    n_fleet = 64
+    fleet = FleetMonitor(
+        FeatureConfig(sample_rate=sr, window_size=1024, hop_size=256),
+        n_streams=n_fleet, window_seconds=60.0, max_lag_seconds=30.0,
+        measure_batch=32,
+    )
+    base = jnp.asarray(
+        rng.standard_normal((n_fleet, 60 * sr)).astype(np.float32) * 0.1
+    ) * jnp.asarray(env)[None, :]
+    lags = rng.integers(4410, sr * 3, n_fleet)  # 0.1-3 s per stream
+    cdnf = jnp.stack(
+        [jnp.roll(base[i], int(lags[i])) * 0.9 for i in range(n_fleet)]
+    )
+    jax.block_until_ready((base, cdnf))
+    fleet.push_source_all(base)
+    fleet.push_cdn_all(cdnf)
+    res_f = fleet.measure_all(refine=True)  # warmup/compile
+    fl_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res_f = fleet.measure_all(refine=True)
+        fl_times.append(time.perf_counter() - t0)
+    t_fleet = sorted(fl_times)[len(fl_times) // 2]
+    ok = sum(
+        1 for i, m in enumerate(res_f)
+        if m is not None and abs(m.latency_s - lags[i] / sr) <= 256 / sr
+    )
+    fleet_cap = int(n_fleet * 10.0 / t_fleet)
+    print(
+        f"[bench] fleet monitor: {n_fleet} stream pairs measured in "
+        f"{t_fleet*1000:.1f} ms median-of-3 ({t_fleet*1000/n_fleet:.1f} "
+        f"ms/stream, {ok}/{n_fleet} within one hop of injected lag) -> "
+        f"~{fleet_cap} concurrent streams/chip at a 10s cadence",
         file=sys.stderr, flush=True,
     )
 
@@ -554,9 +618,25 @@ def main() -> None:
     while inflight:
         float(np.asarray(inflight.popleft()["overall"]).sum())
     t_topk = (time.perf_counter() - t0) / n_iters
+    # the tunnel's fixed dispatch+fetch round trip (~25-30 ms,
+    # docs/PERF.md rule 6) bounds any blocking single call from below:
+    # measure it with a trivial program so the one-shot number reads as
+    # (floor + device work), not as unexplained overhead (VERDICT r4 #6)
+    tiny = jnp.zeros(8, jnp.float32)
+    tiny_fn = jax.jit(lambda v: v + 1.0)
+    float(tiny_fn(tiny).sum())
+    rt = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(tiny_fn(tiny).sum())
+        rt.append(time.perf_counter() - t0)
+    t_floor = sorted(rt)[len(rt) // 2]
     print(
         f"[bench] single-query top-k search: {n_corpus} candidates, "
-        f"one-shot {t_one*1000:.1f} ms, pipelined {t_topk*1000:.2f} ms/query "
+        f"one-shot {t_one*1000:.1f} ms (link dispatch+fetch floor "
+        f"{t_floor*1000:.1f} ms -> device+overhead "
+        f"{(t_one-t_floor)*1000:.1f} ms), pipelined "
+        f"{t_topk*1000:.2f} ms/query "
         f"= {n_corpus/t_topk/1e6:.0f}M comparisons/s",
         file=sys.stderr,
      flush=True)

@@ -39,3 +39,8 @@ from sonido_sonar_tpu.monitor import (  # noqa: F401
     LatencyMeasurement,
     LatencyMonitor,
 )
+
+from sonido_sonar_tpu.warmup import (  # noqa: F401
+    enable_persistent_cache,
+    warmup,
+)

@@ -106,24 +106,26 @@ class _RollingWindow:
             self.buf = jnp.zeros(self.shape, dtype=jnp.float32)
         return self.buf
 
-    @staticmethod
-    def _as_host(pcm) -> np.ndarray:
-        if isinstance(pcm, jnp.ndarray):
-            return np.asarray(pcm, dtype=np.float32)
-        return np.asarray(pcm, dtype=np.float32)
-
     def push(self, pcm, row: Optional[int] = None) -> int:
         """Append a chunk (to row `row` for a fleet buffer, or to every
         row with a [N, L] chunk when row is None on a 2-D buffer).
-        Returns the chunk length."""
-        x = self._as_host(pcm)
+        Returns the chunk length.
+
+        Chunks already on device stay on device (no host round trip —
+        a producer that decodes/uploads elsewhere pays zero extra H2D
+        here); host chunks are one H2D upload of the chunk."""
+        on_device = isinstance(pcm, jnp.ndarray)
+        x = pcm if on_device else np.asarray(pcm, dtype=np.float32)
         n = int(x.shape[-1])
         if n == 0:
             return 0
         buf = self._ensure()
         w = self.window
         if n >= w:
-            tail = jnp.asarray(np.ascontiguousarray(x[..., -w:]))
+            tail = (
+                x[..., -w:].astype(jnp.float32) if on_device
+                else jnp.asarray(np.ascontiguousarray(x[..., -w:]))
+            )
             if row is None:
                 if x.ndim < len(self.shape):  # same chunk to every stream
                     tail = jnp.broadcast_to(tail, self.shape)
@@ -136,8 +138,18 @@ class _RollingWindow:
         else:
             cp = _bucket(n, w)
             pad = cp - n
-            xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]) if pad else x
-            chunk = jnp.asarray(xp)
+            if on_device:
+                chunk = x.astype(jnp.float32)
+                if pad:
+                    chunk = jnp.pad(
+                        chunk, [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                    )
+            else:
+                xp = (
+                    np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+                    if pad else x
+                )
+                chunk = jnp.asarray(xp)
             if row is None:
                 if x.ndim < len(self.shape):
                     chunk = jnp.broadcast_to(chunk, self.shape[:-1] + (cp,))

@@ -511,8 +511,15 @@ def stft_magnitude_pallas(
     return out[0][:, :t, :]
 
 
-def pallas_stft_available(window_size: int, hop_size: int) -> bool:
-    """Whether the fused kernel supports this geometry on this backend."""
+def pallas_stft_available(
+    window_size: int, hop_size: int, with_features: bool = False
+) -> bool:
+    """Whether the fused kernel supports this geometry on this backend.
+
+    with_features: charge the optional feature epilogue's VMEM (four
+    [F, _N_FEAT] weight mats + temporaries, ~1.6 MB at F=513) only when
+    the caller will actually request it (ADVICE r4 #3) — the default
+    kernel must not lose the fast path to an epilogue it never runs."""
     try:
         if jax.default_backend() not in ("tpu",):
             return False
@@ -540,6 +547,7 @@ def pallas_stft_available(window_size: int, hop_size: int) -> bool:
         )
         + 2 * f_bins * f_bins
         + 4 * _FRAME_TILE * f_bins * 3
-        + 4 * (4 * f_bins * _N_FEAT + 2 * _FRAME_TILE * f_bins)
     )
+    if with_features:
+        vmem += 4 * (4 * f_bins * _N_FEAT + 2 * _FRAME_TILE * f_bins)
     return vmem < 12 * 1024 * 1024

@@ -84,11 +84,17 @@ def batched_fingerprint_features(
     # the magnitude never re-enters HBM math at all).
     import os
 
+    # NOTE: the env var is read AT TRACE TIME — once a geometry's
+    # executable is cached, flipping it in the same process has no
+    # effect (jit caches key on program + shapes, not environment).
+    # Restart the process (or call jax.clear_caches()) to A/B it
+    # (ADVICE r4 #2).
     use_feat = (
         use_pallas
         and bool(os.environ.get("SONIDO_ENABLE_FEAT_EPILOGUE"))
         and MFCCParams(num_coefficients=mfcc_coefficients).num_mel_filters
         == 26
+        and pallas_stft_available(window_size, hop_size, with_features=True)
     )
     out: Dict[str, jnp.ndarray] = {}
     if use_pallas:
@@ -472,12 +478,16 @@ class BatchedFingerprintPipeline:
         return self._step_fn()(pcm)
 
     def _step_fn(self):
-        # built once per pipeline so repeated calls reuse the jitted
-        # shard_map executable instead of re-tracing (weak-scaling fix)
-        cached = getattr(self, "_cached_step", None)
-        if cached is not None:
-            return cached
+        # built once per (config, mesh, axis) so repeated calls reuse
+        # the jitted shard_map executable instead of re-tracing
+        # (weak-scaling fix); keying on the settings means mutating
+        # pipe.config / pipe.mesh invalidates the cache instead of
+        # silently serving stale features (ADVICE r4 #1)
         cfg = self.config
+        key = (cfg, id(self.mesh), self.axis)
+        cached = getattr(self, "_cached_step", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
 
         def step(x):
             return batched_fingerprint_features(
@@ -501,7 +511,7 @@ class BatchedFingerprintPipeline:
             fn = shard_over_batch(step, self.mesh, self.axis)
         else:
             fn = step
-        object.__setattr__(self, "_cached_step", fn)
+        object.__setattr__(self, "_cached_step", (key, fn))
         return fn
 
 

@@ -168,6 +168,9 @@ class FingerprintGenerator:
         self.content_detector = ContentDetector(self.config.content_aware)
         self.extractor_factory = FeatureExtractorFactory(strict_reference_routing)
         self._log = get_global_logger().with_component("fingerprint_generator")
+        # speculative-routing memory: the detected type of the last
+        # all-one-type batch (None after a mixed batch / cold start)
+        self._spec_ct: Optional[ContentType] = None
 
     def _detect_content_type(self, audio: AudioData) -> ContentType:
         """Content detection cascade: explicit metadata -> acoustic ->
@@ -192,6 +195,17 @@ class FingerprintGenerator:
         """_detect_content_type over a batch: explicit metadata on host,
         then ONE device program + [K, 9] fetch for the acoustic stage
         (content_detector.detect_batch) instead of per-clip host numpy."""
+        resolve, _ = self._detect_content_types_batch_async(audios, pcm_all)
+        return resolve()
+
+    def _detect_content_types_batch_async(self, audios, pcm_all: jnp.ndarray):
+        """Dispatch half of `_detect_content_types_batch`: the acoustic
+        device program is launched but its [K, 9] fetch waits until the
+        returned `resolve()` runs. Returns (resolve, dispatched);
+        `dispatched=False` means resolve() is fetch-free (all explicit
+        metadata / detection disabled). Lets the batch path put a
+        speculative extractor dispatch between the two halves so the
+        detect round trip rides under extractor device time."""
         from sonido_sonar_tpu.config.config import to_content_type
 
         ctypes: List[ContentType] = []
@@ -208,17 +222,23 @@ class FingerprintGenerator:
                 and self.config.content_aware.enable_content_detection
             ):
                 pending.append(i)
+        inner = None
         if pending:
             if len(pending) == len(audios):
                 sub = pcm_all
             else:
                 sub = pcm_all[jnp.asarray(pending)]
-            detected = self.content_detector.detect_batch(
+            inner, dispatched = self.content_detector.detect_batch_async(
                 [audios[i] for i in pending], pcm_device=sub
             )
-            for i, ct in zip(pending, detected):
-                ctypes[i] = ct
-        return ctypes
+
+        def resolve() -> List[ContentType]:
+            if inner is not None:
+                for i, ct in zip(pending, inner()):
+                    ctypes[i] = ct
+            return ctypes
+
+        return resolve, (inner is not None and dispatched)
 
     def _feature_config_for(self, content_type: ContentType, sample_rate: int):
         generation_config = self.content_manager.get_generation_config(
@@ -273,6 +293,27 @@ class FingerprintGenerator:
         self._add_metadata(fp, audio, extractor)
         return fp
 
+    def _assemble_fp(
+        self, audio: AudioData, ct: ContentType, sr: int, extractor, features
+    ) -> AudioFingerprint:
+        """Host fingerprint-object assembly for one clip of a batch
+        group (features stay the group's device pytree; `features=None`
+        on the object until materialize)."""
+        fp = AudioFingerprint(
+            id=generate_id(audio),
+            stream_url=audio.metadata.url if audio.metadata else "",
+            content_type=ct,
+            timestamp=time.time(),
+            duration=audio.duration,
+            sample_rate=sr,
+            hop_size=self.config.feature_config.hop_size,
+            channels=audio.channels,
+            features=None,
+            metadata={},
+        )
+        self._add_metadata(fp, audio, extractor, features)
+        return fp
+
     def _prepare_batch(self, audios, pcm_matrix=None) -> jnp.ndarray:
         """Validate and stack a batch to one [B, N] device array (a
         single H2D upload; pre-uploaded device PCM passes through).
@@ -321,7 +362,8 @@ class FingerprintGenerator:
         )
 
     def generate_fingerprints_batch(
-        self, audios, materialize: bool = True, pcm_matrix=None
+        self, audios, materialize: bool = True, pcm_matrix=None,
+        speculate: bool = True,
     ):
         """Batched GenerateFingerprint for same-rate, equal-length clips.
 
@@ -343,12 +385,37 @@ class FingerprintGenerator:
         PCM as `audios` (row i == audios[i].pcm) — skips the stack
         program entirely (utils.batch_audios produces buckets in this
         form).
+
+        speculate: overlap the content-detect fetch with the extractor
+        program. When the LAST batch through this generator detected one
+        uniform content type, the extractor for that type is dispatched
+        BEFORE the detect result is fetched, so the ~40 ms detect round
+        trip (round-5 stage breakdown, docs/PERF.md) rides under the
+        extractor's device time. Results are identical either way: if
+        detection disagrees with the speculation the speculative run is
+        discarded and the normal per-group path executes (one wasted
+        extractor program — only possible when the corpus content type
+        CHANGES between consecutive batches; streaming corpora are
+        uniform). Set speculate=False to never risk the wasted program.
         """
         if not audios:
             return [] if materialize else FingerprintBatch([], [])
         sr = audios[0].sample_rate
         pcm_all = self._prepare_batch(audios, pcm_matrix)
-        ctypes = self._detect_content_types_batch(audios, pcm_all)
+        resolve, dispatched = self._detect_content_types_batch_async(
+            audios, pcm_all
+        )
+        spec_ct = self._spec_ct if (speculate and dispatched) else None
+        spec_features = None
+        if spec_ct is not None:
+            fc_s = self._feature_config_for(spec_ct, sr)
+            ext_s = self.extractor_factory.create_extractor(spec_ct, fc_s)
+            # async dispatch: the chip starts the extractor while the
+            # detect fetch's round trip is still in flight
+            spec_features = self._extract(ext_s, pcm_all, fc_s, sr)
+        ctypes = resolve()
+        uniform_ct = ctypes[0] if all(c == ctypes[0] for c in ctypes) else None
+        self._spec_ct = uniform_ct
 
         fingerprints: List[Optional[AudioFingerprint]] = [None] * len(audios)
         groups: List[Tuple[ContentType, List[int], ExtractedFeatures]] = []
@@ -357,6 +424,14 @@ class FingerprintGenerator:
             fc = self._feature_config_for(ct, sr)
             extractor = self.extractor_factory.create_extractor(ct, fc)
             if len(idxs) == len(audios):
+                if spec_features is not None and ct == spec_ct:
+                    features = spec_features  # speculation confirmed
+                    groups.append((ct, idxs, features))
+                    for i in idxs:
+                        fp = self._assemble_fp(audios[i], ct, sr, extractor,
+                                               features)
+                        fingerprints[i] = fp
+                    continue
                 pcm = pcm_all
             else:
                 # pad the group to the next power of two (repeating row
@@ -372,21 +447,9 @@ class FingerprintGenerator:
             features = self._extract(extractor, pcm, fc, sr)
             groups.append((ct, idxs, features))
             for i in idxs:
-                audio = audios[i]
-                fp = AudioFingerprint(
-                    id=generate_id(audio),
-                    stream_url=audio.metadata.url if audio.metadata else "",
-                    content_type=ct,
-                    timestamp=time.time(),
-                    duration=audio.duration,
-                    sample_rate=sr,
-                    hop_size=self.config.feature_config.hop_size,
-                    channels=audio.channels,
-                    features=None,
-                    metadata={},
+                fingerprints[i] = self._assemble_fp(
+                    audios[i], ct, sr, extractor, features
                 )
-                self._add_metadata(fp, audio, extractor, features)
-                fingerprints[i] = fp
 
         batch = FingerprintBatch(fingerprints, groups)
         if materialize:

@@ -221,3 +221,49 @@ def test_prepare_batch_pcm_matrix_validation(generator, clips):
     bad = np.zeros((2, 100), np.float32)
     with pytest.raises(ValueError):
         generator.generate_fingerprints_batch([a], pcm_matrix=bad)
+
+
+def test_speculative_routing_parity(clips, generator):
+    """Speculative content routing (detect-fetch overlap) must be
+    invisible in results: hit, miss, and mixed-batch fall-back all equal
+    speculate=False, and the uniform-type memory updates correctly."""
+    music, talk, _ = clips
+    ms = [_audio(music * (0.8 + 0.1 * i)) for i in range(3)]
+
+    gen = FingerprintGenerator(
+        FingerprintConfig(
+            feature_config=FeatureConfig(
+                sample_rate=SR, window_size=1024, hop_size=256
+            )
+        ),
+        strict_reference_routing=False,
+    )
+    assert gen._spec_ct is None  # cold start: no speculation
+    base = gen.generate_fingerprints_batch(ms, speculate=False)
+    got1 = gen.generate_fingerprints_batch(ms)  # primes the memory
+    ct = base[0].content_type
+    assert gen._spec_ct == ct
+
+    # hit path: memory matches the (uniform) detected type
+    got2 = gen.generate_fingerprints_batch(ms)
+    for g, w in zip(got2, base):
+        assert g.content_type == w.content_type
+        _assert_features_close(g.features, w.features, "speculation hit")
+
+    # miss path: force a wrong memory; results still equal baseline
+    gen._spec_ct = ContentType.SPORTS if ct != ContentType.SPORTS else ContentType.NEWS
+    got3 = gen.generate_fingerprints_batch(ms)
+    for g, w in zip(got3, base):
+        assert g.content_type == w.content_type
+        _assert_features_close(g.features, w.features, "speculation miss")
+    assert gen._spec_ct == ct  # memory re-learned from the actual batch
+
+    # mixed batch: memory clears (no speculation next call), parity holds
+    mixed = [ms[0], _audio(talk)]
+    w_mixed = gen.generate_fingerprints_batch(mixed, speculate=False)
+    g_mixed = gen.generate_fingerprints_batch(mixed)
+    if len({f.content_type for f in w_mixed}) > 1:
+        assert gen._spec_ct is None
+    for g, w in zip(g_mixed, w_mixed):
+        assert g.content_type == w.content_type
+        _assert_features_close(g.features, w.features, "mixed batch")

@@ -412,9 +412,31 @@ def main() -> None:
             )
         )
     )
+    # uniform-content batch (harmonic music-like clips): the production
+    # streaming shape, and the apples-to-apples comparison with the ONE
+    # bare extractor program (random noise detects as MIXED types,
+    # which by contract runs one program per bucketed group — more
+    # device work, not overhead). Uniformity also primes speculative
+    # routing after the first call (docs/PERF.md round 5).
+    tgrid = np.arange(n, dtype=np.float32) / sr
+    gb_inputs = []
+    for s in range(2):
+        f0 = 196.0 + 24 * s
+        sig = sum(
+            np.sin(2 * np.pi * f0 * (h + 1) * tgrid + 0.1 * h).astype(
+                np.float32
+            ) * (0.5 / (h + 1))
+            for h in range(4)
+        )
+        base = sig[None].repeat(batch, 0) * (
+            0.6 + 0.4 * rng.random((batch, 1), dtype=np.float32)
+        )
+        base += rng.standard_normal((batch, n)).astype(np.float32) * 0.01
+        gb_inputs.append(jnp.asarray(base))
+    jax.block_until_ready(gb_inputs)
     audio_sets = [
         [AudioData(pcm=x_dev[i], sample_rate=sr) for i in range(batch)]
-        for x_dev in inputs
+        for x_dev in gb_inputs
     ]
 
     def gb_step(audios, pcm_matrix=None):
@@ -431,7 +453,7 @@ def main() -> None:
         t0 = time.perf_counter()
         for i in range(gb_iters):
             audios = audio_sets[i % len(audio_sets)]
-            pm = inputs[i % len(inputs)] if use_matrix else None
+            pm = gb_inputs[i % len(gb_inputs)] if use_matrix else None
             inflight.append(gb_step(audios, pm))
             if len(inflight) > 1:
                 float(inflight.popleft().sum())
@@ -445,16 +467,16 @@ def main() -> None:
 
     # reference point: the bare extractor program this batch routes to
     # (the >=85%-of-raw orchestration-overhead target, VERDICT r3 #1)
-    ct0 = gen._detect_content_types_batch(audio_sets[0], inputs[0])[0]
+    ct0 = gen._detect_content_types_batch(audio_sets[0], gb_inputs[0])[0]
     fc0 = gen._feature_config_for(ct0, sr)
     ext0 = gen.extractor_factory.create_extractor(ct0, fc0)
     bare_step = lambda x: ext0.extract_features_from_pcm(x, sr)
     fence = lambda f: float(f.spectral_features.spectral_centroid.sum())
-    fence(bare_step(inputs[0]))  # warmup (cache shared with gb_step)
+    fence(bare_step(gb_inputs[0]))  # warmup (cache shared with gb_step)
     inflight = collections.deque()
     t0 = time.perf_counter()
     for i in range(gb_iters):
-        inflight.append(bare_step(inputs[i % len(inputs)]))
+        inflight.append(bare_step(gb_inputs[i % len(gb_inputs)]))
         if len(inflight) > 1:
             fence(inflight.popleft())
     while inflight:

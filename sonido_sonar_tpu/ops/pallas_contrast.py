@@ -1,5 +1,14 @@
-"""Fused spectral-contrast band selection: exact top/bottom-20% means
-without a sort.
+"""Sort-free spectral-contrast band selection — a MEASURED NEGATIVE
+RESULT, kept as the evidence that the sort pipeline is at its floor.
+
+On-chip (v5e, B=128 x 30 s, median-of-7): this kernel 127.6 ms vs the
+XLA sort pipeline's 76.5 ms isolated (~46 ms in-program). Why it loses
+(docs/PERF.md round 5): the per-iteration count matmuls use 6-12 of 128
+MXU output lanes (~90% padded waste, ~20 ms over the 22-bit search) and
+the compare/select/FMA passes floor at ~8 VPU ops/element/iteration;
+int8 count dots and radix-16 rounds would each roughly halve one term
+and still land ~60 ms > 46 ms. NOT wired into spectral_contrast;
+tests/test_pallas_contrast.py keeps the artifact honest.
 
 Reference behavior: algorithms/spectral/spectral_contrast.go:71-137 —
 per log-spaced band, sort the power spectrum, mean of the top 20% =
